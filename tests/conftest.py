@@ -1,12 +1,28 @@
-"""Test configuration: force JAX onto a virtual 8-device CPU mesh.
+"""Test configuration.
 
-Multi-chip TPU hardware is not available in CI; sharding tests run against
-XLA's host-platform device emulation (the driver separately dry-runs the
-multi-chip path via __graft_entry__.dryrun_multichip)."""
+We need a virtual 8-device CPU mesh for sharding tests (multi-chip TPU
+hardware is not available). NOTE: do NOT set JAX_PLATFORMS=cpu here — with the
+axon TPU plugin present that combination wedges device transfers. Instead we
+leave platform discovery alone, force 8 host CPU devices, and tests pin
+computations to jax.devices("cpu") explicitly where needed."""
 
 import os
 
-os.environ.setdefault("JAX_PLATFORMS", "cpu")
 flags = os.environ.get("XLA_FLAGS", "")
 if "xla_force_host_platform_device_count" not in flags:
     os.environ["XLA_FLAGS"] = (flags + " --xla_force_host_platform_device_count=8").strip()
+
+
+def pytest_configure(config):
+    # Pin the default device to host CPU: unit tests are correctness tests and
+    # eager dispatch over the remote TPU tunnel is latency-bound. Bench code
+    # targets the TPU explicitly.
+    import jax
+
+    jax.config.update("jax_default_device", jax.devices("cpu")[0])
+
+
+def cpu_devices():
+    import jax
+
+    return jax.devices("cpu")
