@@ -16,3 +16,20 @@ Layout:
 """
 
 __version__ = "0.1.0"
+
+
+def enable_compilation_cache(path: str | None = None):
+    """Enable JAX's persistent compilation cache. The circuit-specialized
+    verifier compiles once per (plan, batch shape); the cache makes that a
+    one-time cost per machine."""
+    import os
+
+    import jax
+
+    cache_dir = path or os.environ.get(
+        "PH2_TPU_CACHE", os.path.expanduser("~/.cache/plutus_halo2_tpu_xla")
+    )
+    os.makedirs(cache_dir, exist_ok=True)
+    jax.config.update("jax_compilation_cache_dir", cache_dir)
+    jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
+    return cache_dir

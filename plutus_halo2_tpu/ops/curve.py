@@ -1,0 +1,316 @@
+"""Batched BLS12-381 G1 arithmetic for TPU (JAX).
+
+Kernel replacement for the Plutus `bls12_381_G1_*` builtins the reference's
+on-chain verifiers lean on (BlsTypes.hs:384-422, MSMEval.hs:18-27). Points are
+homogeneous projective (X:Y:Z) over Montgomery-form Fp limbs, shape
+(..., 3, L). All formulas are the *complete* a=0 formulas of
+Renes-Costello-Batina 2015 (Algs 7 and 9): branch-free, identity-safe —
+exactly what SIMD batching over proofs wants (no data-dependent control flow
+under jit).
+
+Scalar multiplication / MSM: fixed 4-bit windows, per-window table built with
+complete adds, branchless one-hot table selects, lax.scan over 64 windows.
+"""
+
+from __future__ import annotations
+
+from functools import partial
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from . import limb
+from .limb import FP_SPEC, FR_SPEC, fp
+
+# b3 = 3*b = 12 in Montgomery form
+_B3 = FP_SPEC.to_mont(12)
+_B = FP_SPEC.to_mont(4)
+
+
+def pt(x, y, z):
+    return jnp.stack([x, y, z], axis=-2)
+
+
+def pt_x(p):
+    return p[..., 0, :]
+
+
+def pt_y(p):
+    return p[..., 1, :]
+
+
+def pt_z(p):
+    return p[..., 2, :]
+
+
+def identity(shape=()):
+    """(0 : 1 : 0)."""
+    x = fp.zeros(shape)
+    y = fp.one(shape)
+    z = fp.zeros(shape)
+    return pt(x, y, z)
+
+
+def from_affine_mont(x, y):
+    """Affine Montgomery-limb coords -> projective."""
+    return pt(x, y, fp.one(x.shape[:-1]))
+
+
+def host_point_to_mont(p) -> np.ndarray:
+    """Host-side: affine int point (or None) -> (3, L) Montgomery projective."""
+    if p is None:
+        return np.stack([FP_SPEC.to_mont(0), FP_SPEC.to_mont(1), FP_SPEC.to_mont(0)])
+    x, y = p
+    return np.stack([FP_SPEC.to_mont(x), FP_SPEC.to_mont(y), FP_SPEC.to_mont(1)])
+
+
+def host_point_from_mont(arr) -> tuple | None:
+    """Host-side: (3, L) Montgomery projective -> affine int point / None."""
+    arr = np.asarray(arr)
+    x = FP_SPEC.from_mont_int(arr[0])
+    y = FP_SPEC.from_mont_int(arr[1])
+    z = FP_SPEC.from_mont_int(arr[2])
+    if z == 0:
+        return None
+    from ..refimpl.field import P, fp_inv
+
+    zi = fp_inv(z)
+    return (x * zi % P, y * zi % P)
+
+
+def add(p, q):
+    """Complete addition, RCB15 Algorithm 7 (a=0)."""
+    X1, Y1, Z1 = pt_x(p), pt_y(p), pt_z(p)
+    X2, Y2, Z2 = pt_x(q), pt_y(q), pt_z(q)
+    b3 = jnp.asarray(_B3)
+    m, a_, s_ = fp.mul, fp.add, fp.sub
+    t0 = m(X1, X2)
+    t1 = m(Y1, Y2)
+    t2 = m(Z1, Z2)
+    t3 = a_(X1, Y1)
+    t4 = a_(X2, Y2)
+    t3 = m(t3, t4)
+    t4 = a_(t0, t1)
+    t3 = s_(t3, t4)
+    t4 = a_(Y1, Z1)
+    X3 = a_(Y2, Z2)
+    t4 = m(t4, X3)
+    X3 = a_(t1, t2)
+    t4 = s_(t4, X3)
+    X3 = a_(X1, Z1)
+    Y3 = a_(X2, Z2)
+    X3 = m(X3, Y3)
+    Y3 = a_(t0, t2)
+    Y3 = s_(X3, Y3)
+    X3 = a_(t0, t0)
+    t0 = a_(X3, t0)
+    t2 = m(b3, t2)
+    Z3 = a_(t1, t2)
+    t1 = s_(t1, t2)
+    Y3 = m(b3, Y3)
+    X3 = m(t4, Y3)
+    t2 = m(t3, t1)
+    X3 = s_(t2, X3)
+    Y3 = m(Y3, t0)
+    t1 = m(t1, Z3)
+    Y3 = a_(t1, Y3)
+    t0 = m(t0, t3)
+    Z3 = m(Z3, t4)
+    Z3 = a_(Z3, t0)
+    return pt(X3, Y3, Z3)
+
+
+def double(p):
+    """Complete doubling, RCB15 Algorithm 9 (a=0)."""
+    X, Y, Z = pt_x(p), pt_y(p), pt_z(p)
+    b3 = jnp.asarray(_B3)
+    m, a_, s_ = fp.mul, fp.add, fp.sub
+    t0 = m(Y, Y)
+    Z3 = a_(t0, t0)
+    Z3 = a_(Z3, Z3)
+    Z3 = a_(Z3, Z3)
+    t1 = m(Y, Z)
+    t2 = m(Z, Z)
+    t2 = m(b3, t2)
+    X3 = m(t2, Z3)
+    Y3 = a_(t0, t2)
+    Z3 = m(t1, Z3)
+    t1 = a_(t2, t2)
+    t2 = a_(t1, t2)
+    t0 = s_(t0, t2)
+    Y3 = m(t0, Y3)
+    Y3 = a_(X3, Y3)
+    t1 = m(X, Y)
+    X3 = m(t0, t1)
+    X3 = a_(X3, X3)
+    return pt(X3, Y3, Z3)
+
+
+def neg(p):
+    return pt(pt_x(p), fp.neg(pt_y(p)), pt_z(p))
+
+
+def select(cond, p, q):
+    """cond (...,) -> pointwise select."""
+    return jnp.where(cond[..., None, None], p, q)
+
+
+def is_identity(p):
+    return fp.is_zero(pt_z(p))
+
+
+def eq(p, q):
+    """Projective equality: cross-multiplied affine comparison, identity-aware."""
+    x1z2 = fp.mul(pt_x(p), pt_z(q))
+    x2z1 = fp.mul(pt_x(q), pt_z(p))
+    y1z2 = fp.mul(pt_y(p), pt_z(q))
+    y2z1 = fp.mul(pt_y(q), pt_z(p))
+    both_fin = fp.eq(x1z2, x2z1) & fp.eq(y1z2, y2z1) & ~is_identity(p) & ~is_identity(q)
+    both_inf = is_identity(p) & is_identity(q)
+    return both_fin | both_inf
+
+
+def _nibbles_msb_first(scalars):
+    """(..., L_fr) 16-bit limbs -> (64, ...) window values, MSB window first.
+    Canonical Fr fits 255 bits, so windows beyond 64 are always zero."""
+    l = scalars.astype(jnp.uint32)
+    parts = jnp.stack(
+        [(l >> 0) & 0xF, (l >> 4) & 0xF, (l >> 8) & 0xF, (l >> 12) & 0xF], axis=-1
+    )
+    nibbles = parts.reshape(*scalars.shape[:-1], -1)[..., :64]  # little-endian
+    return jnp.moveaxis(nibbles[..., ::-1], -1, 0)
+
+
+def _window_table(p):
+    """[0*P, 1*P, ..., 15*P] stacked on a new axis -3: (..., 16, 3, L).
+    Built as a 14-step scan of repeated addition (one traced point-add)."""
+
+    def body(acc, _):
+        nxt = add(acc, p)
+        return nxt, nxt
+
+    _, chain = jax.lax.scan(body, p, None, length=14)  # 2P .. 15P on axis 0
+    chain = jnp.moveaxis(chain, 0, -3)
+    ident = identity(p.shape[:-2])[..., None, :, :]
+    return jnp.concatenate([ident, p[..., None, :, :], chain], axis=-3)
+
+
+def _table_select(table, idx):
+    """Branchless one-hot gather: table (..., 16, 3, L), idx (...,)."""
+    onehot = (idx[..., None] == jnp.arange(16, dtype=jnp.uint32)).astype(jnp.uint32)
+    return jnp.einsum("...w,...wcl->...cl", onehot, table)
+
+
+def mul(p, scalars):
+    """Batched scalar multiplication: p (..., 3, L) by Fr limbs (..., L_fr)."""
+    table = _window_table(p)
+    windows = _nibbles_msb_first(scalars)
+
+    def body(acc, w):
+        acc = double(double(double(double(acc))))
+        term = _table_select(table, w)
+        return add(acc, term), None
+
+    acc0 = identity(p.shape[:-2])
+    out, _ = jax.lax.scan(body, acc0, windows)
+    return out
+
+
+def msm(points, scalars):
+    """Batched multi-scalar multiplication over a static K axis:
+    points (..., K, 3, L), scalars (..., K, L_fr) -> (..., 3, L).
+
+    Joint windowing: the 4 doublings per window are shared across all K terms
+    (the TPU answer to the reference's sequential fold, MSMEval.hs:20-27)."""
+    K = points.shape[-3]
+    table = _window_table(points)  # (..., K, 16, 3, L)
+    windows = _nibbles_msb_first(scalars)  # (64, ..., K)
+
+    def body(acc, w):
+        acc = double(double(double(double(acc))))
+        terms = _table_select(table, w)  # (..., K, 3, L)
+        # tree-reduce over K
+        t = terms
+        k = K
+        while k > 1:
+            half = k // 2
+            paired = add(t[..., :half, :, :], t[..., half : 2 * half, :, :])
+            if k % 2:
+                paired = jnp.concatenate([paired, t[..., 2 * half : k, :, :]], axis=-3)
+                half += 1
+            t = paired
+            k = half
+        return add(acc, t[..., 0, :, :]), None
+
+    acc0 = identity(points.shape[:-3])
+    out, _ = jax.lax.scan(body, acc0, windows)
+    return out
+
+
+def is_on_curve(p):
+    """y^2 z = x^3 + b z^3 (projective curve equation)."""
+    X, Y, Z = pt_x(p), pt_y(p), pt_z(p)
+    lhs = fp.mul(fp.mul(Y, Y), Z)
+    rhs = fp.add(fp.mul(fp.mul(X, X), X), fp.mul(jnp.asarray(_B), fp.mul(fp.mul(Z, Z), Z)))
+    return fp.eq(lhs, rhs)
+
+
+# ---------------------------------------------------------------------------
+# compressed-point decoding (blst conventions, CompressUncompress.hs:51-97)
+# ---------------------------------------------------------------------------
+
+_FP_GE_HELPER = np.concatenate([FP_SPEC.neg_n_limbs, np.zeros(1, np.uint32)])
+
+
+def _bytes_be_to_limbs(b):
+    """(..., 48) uint8 big-endian -> (..., 25) 16-bit limbs little-endian."""
+    le = b[..., ::-1].astype(jnp.uint32)  # little-endian bytes
+    pairs = le.reshape(*le.shape[:-1], 24, 2)
+    limbs24 = pairs[..., 0] | (pairs[..., 1] << 8)
+    pad = jnp.zeros_like(limbs24[..., :1])
+    return jnp.concatenate([limbs24, pad], axis=-1)
+
+
+def decompress(comp_bytes):
+    """Batched G1 decompression: (..., 48) uint8 -> (point (..., 3, L),
+    valid (...,) bool). Invalid encodings yield valid=False (the caller folds
+    this into the verdict; the on-chain builtin would abort the script)."""
+    flags = comp_bytes[..., 0]
+    comp_flag = (flags & 0x80) != 0
+    inf_flag = (flags & 0x40) != 0
+    sign_flag = (flags & 0x20) != 0
+
+    x_bytes = comp_bytes.at[..., 0].set(flags & 0x1F)
+    x_limbs = _bytes_be_to_limbs(x_bytes)[..., : FP_SPEC.L]
+    # x < p check via carry trick
+    x_ext = jnp.concatenate([x_limbs, jnp.zeros_like(x_limbs[..., :1])], axis=-1)
+    z = limb.normalize(x_ext + jnp.asarray(_FP_GE_HELPER))
+    x_ge_p = z[..., -1] > 0
+
+    xm = fp.to_mont(x_limbs)
+    rhs = fp.add(fp.mul(fp.mul(xm, xm), xm), jnp.broadcast_to(jnp.asarray(_B), xm.shape))
+    y = fp.pow(rhs, (FP_SPEC.N + 1) >> 2)
+    root_ok = fp.eq(fp.mul(y, y), rhs)
+
+    # sign: y > -y in the integer sense — compare canonical (non-Montgomery)
+    y_int = fp.from_mont(y)
+    ny_int = fp.from_mont(fp.neg(y))
+    # lexicographic y > ny via subtract-carry: ny + (R - y) overflows iff ny >= y
+    y_ext = jnp.concatenate([y_int, jnp.zeros_like(y_int[..., :1])], axis=-1)
+    comp_y = jnp.concatenate([(limb.MASK16 - ny_int), jnp.zeros_like(ny_int[..., :1])], axis=-1)
+    one = jnp.zeros_like(y_ext).at[..., 0].set(1)
+    diff = limb.normalize(y_ext + comp_y + one)
+    y_gt = (diff[..., -1] > 0) & ~fp.eq(y_int, ny_int)  # y > ny
+
+    want_neg = sign_flag != y_gt
+    y_final = limb.select(want_neg, fp.neg(y), y)
+
+    point = from_affine_mont(xm, y_final)
+    ident = identity(point.shape[:-2])
+    # infinity: flags 0xc0 with zero payload
+    rest_zero = jnp.all(x_bytes[..., 1:] == 0, axis=-1) & ((flags & 0x1F) == 0)
+    inf_ok = inf_flag & ~sign_flag & rest_zero
+    point = select(inf_flag, ident, point)
+    valid = comp_flag & jnp.where(inf_flag, inf_ok, root_ok & ~x_ge_p)
+    return point, valid

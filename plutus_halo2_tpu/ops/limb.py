@@ -72,6 +72,28 @@ class FieldSpec:
                 idx[k, j] = (k - j) % (2 * L8)  # wraps into the zero-padding
         self.conv_idx = idx
 
+        def _sublimbs(l16):
+            out = np.zeros(2 * len(l16), dtype=np.int32)
+            out[0::2] = l16 & 0xFF
+            out[1::2] = l16 >> 8
+            return out
+
+        def _const_conv_matrix(const_limbs, out_cols):
+            """C[j, k] = c8_{k-j}: x8 @ C = conv(x, const) 8-bit columns."""
+            c8 = _sublimbs(const_limbs)
+            C = np.zeros((L8, out_cols), dtype=np.int32)
+            for j in range(L8):
+                for k in range(out_cols):
+                    d = k - j
+                    if 0 <= d < L8:
+                        C[j, k] = c8[d]
+            return C
+
+        # x * N' keeping only columns < R (mod-R product): 2L 8-bit columns
+        self.conv_nprime_mat = _const_conv_matrix(self.nprime_limbs, L8)
+        # x * N, all columns (padded to 2*L8 for 16-bit recombination)
+        self.conv_n_mat = _const_conv_matrix(self.n_limbs, 2 * L8)
+
     # -- host-side conversions ------------------------------------------------
     def to_mont(self, x: int) -> np.ndarray:
         return int_to_limbs((x % self.N) * self.R_mod % self.N, self.L)
@@ -107,25 +129,30 @@ def _lazy_round(cols):
     return lo + hi_shifted
 
 
-def _carry_combine(a, b):
-    # carry transfer functions f(c) = g | (p & c); composition b∘a
-    ga, pa = a
-    gb, pb = b
-    return (gb | (pb & ga), pa & pb)
+def _tril_mask(K: int):
+    return jnp.asarray(np.tril(np.ones((K, K), dtype=bool), k=-1))
 
 
 def normalize(cols):
     """Exact carry resolution: (..., K) columns (< 2^31 each) -> (..., K)
     canonical 16-bit limbs. The final carry out of the top column is dropped;
-    callers size K so the true value fits."""
+    callers size K so the true value fits.
+
+    Carry-lookahead without sequential scans: generate/propagate flags plus a
+    cumsum + one outer comparison (O(K^2) cheap elementwise work, ~7 HLO ops —
+    compile-friendly, which matters when this is inlined thousands of times)."""
     cols = _lazy_round(_lazy_round(cols))
+    K = cols.shape[-1]
     # limbs now <= 2^16: exact carry-lookahead
-    g = (cols >> 16).astype(jnp.uint32)  # in {0, 1}
-    p = ((cols & MASK16) == MASK16).astype(jnp.uint32)
-    gp, _pp = jax.lax.associative_scan(_carry_combine, (g, p), axis=-1)
-    carry_in = jnp.concatenate(
-        [jnp.zeros_like(gp[..., :1]), gp[..., :-1]], axis=-1
-    )
+    g = cols >> 16  # in {0, 1}
+    p = (cols & MASK16) == MASK16
+    # s_j = #non-propagating positions up to j (inclusive)
+    s = jnp.cumsum(jnp.where(p, 0, 1).astype(jnp.int32), axis=-1)
+    s_km1 = jnp.concatenate([jnp.zeros_like(s[..., :1]), s[..., :-1]], axis=-1)
+    # carry into k  <=>  exists j < k with g_j and all-propagate over (j, k-1]
+    eqmat = s_km1[..., :, None] == s[..., None, :]
+    hit = g[..., None, :].astype(bool) & eqmat & _tril_mask(K)
+    carry_in = jnp.any(hit, axis=-1).astype(jnp.uint32)
     return (cols + carry_in) & MASK16
 
 
@@ -134,10 +161,31 @@ def normalize(cols):
 # ---------------------------------------------------------------------------
 
 def _to_sublimbs(a):
-    """(..., L) 16-bit limbs -> (..., 2L) 8-bit sublimbs."""
+    """(..., L) limbs -> (..., 2L) 8-bit-ish sublimbs. The hi half is NOT
+    masked: limbs slightly above 2^16 (lazy forms) keep their excess in hi,
+    preserving value; convolution column bounds stay far below 2^31."""
     lo = a & MASK8
-    hi = (a >> 8) & MASK8
+    hi = a >> 8
     return jnp.stack([lo, hi], axis=-1).reshape(*a.shape[:-1], -1)
+
+
+def _recombine16(c8):
+    """(..., 2K) 8-bit columns -> (..., K) 16-bit columns."""
+    c8 = c8.reshape(*c8.shape[:-1], c8.shape[-1] // 2, 2)
+    return c8[..., 0] + (c8[..., 1] << 8)
+
+
+def _conv_const_columns(spec: FieldSpec, x, which: str):
+    """Product with a static constant via one static-matrix matmul.
+    which='nprime': x*N' mod R as (..., L) 16-bit columns;
+    which='n': full x*N as (..., 2L) 16-bit columns.
+    x limbs may be lazy up to 2^16 (sublimb hi <= 256 keeps sums < 2^26)."""
+    mat = spec.conv_nprime_mat if which == "nprime" else spec.conv_n_mat
+    x8 = _to_sublimbs(x)
+    c8 = jnp.einsum("...j,jk->...k", x8.astype(jnp.int32), jnp.asarray(mat)).astype(
+        jnp.uint32
+    )
+    return _recombine16(c8)
 
 
 def _conv_columns(spec: FieldSpec, a, b):
@@ -151,10 +199,8 @@ def _conv_columns(spec: FieldSpec, a, b):
     c8 = jnp.einsum(
         "...kj,...j->...k", toep.astype(jnp.int32), b8.astype(jnp.int32)
     ).astype(jnp.uint32)  # 8-bit column sums < 2^22
-    # recombine 8-bit columns into 16-bit columns: t_k = c_{2k} + 256*c_{2k+1}
     c8 = jnp.concatenate([c8, jnp.zeros_like(c8[..., :1])], axis=-1)  # to 2*L8
-    c8 = c8.reshape(*c8.shape[:-1], 2 * spec.L, 2)
-    return c8[..., 0] + (c8[..., 1] << 8)
+    return _recombine16(c8)
 
 
 # ---------------------------------------------------------------------------
@@ -196,21 +242,60 @@ def neg(spec: FieldSpec, a):
     return sub(spec, zero, a)
 
 
-def mont_mul(spec: FieldSpec, a, b):
-    """Montgomery product: a*b*R^-1 mod N, canonical inputs/outputs."""
+def mont_mul_conv(spec: FieldSpec, a, b):
+    """Montgomery product via 8-bit convolutions (matmul-shaped; one exact
+    normalization — the m computation only needs congruence mod R, which
+    survives lazy columns)."""
     L = spec.L
-    t = _conv_columns(spec, a, b)  # (..., 2L) lazy
-    t_ext = jnp.concatenate([t, jnp.zeros_like(t[..., :1])], axis=-1)
-    T = normalize(t_ext)  # exact 16-bit limbs of a*b, 2L+1 limbs
-    # m = (T mod R) * N' mod R
-    m_cols = _conv_columns(spec, T[..., :L], jnp.asarray(spec.nprime_limbs))
-    m = normalize(m_cols[..., :L])  # mod R: keep low L columns
-    # T + m*N, then divide by R (drop low L limbs — they are zero)
-    mn = _conv_columns(spec, m, jnp.asarray(spec.n_limbs))
-    mn_ext = jnp.concatenate([mn, jnp.zeros_like(mn[..., :1])], axis=-1)
-    S = normalize(T + mn_ext)
+    t = _conv_columns(spec, a, b)  # (..., 2L) lazy columns of a*b
+    t = _lazy_round(_lazy_round(t))  # limbs <= 2^16, value preserved
+    # m must be exact (< R), else the final quotient can exceed 2N and break
+    # the single conditional subtraction.
+    m = normalize(_conv_const_columns(spec, t[..., :L], "nprime"))
+    # S = T + m*N is divisible by R; low L limbs of the exact form are zero
+    mn = _conv_const_columns(spec, m, "n")
+    pad = jnp.zeros_like(t[..., :1])
+    S = jnp.concatenate([t, pad], axis=-1) + jnp.concatenate([mn, pad], axis=-1)
+    S = normalize(S)
     out = S[..., L:]  # L+1 limbs, value < N(1 + 2^-17)
     return _cond_sub_n(spec, out)
+
+
+def mont_mul_cios(spec: FieldSpec, a, b):
+    """Montgomery product via a lazy CIOS fori_loop: simple elementwise HLO
+    (compile-cheap), L sequential steps vectorized over the batch.
+
+    Column bound: each physical column lives <= L shifts and gains at most
+    ~4*2^16 + carry per step, staying < 2^23 — far from uint32 overflow. The
+    low column is exact mod 2^16 at every step (all its contributions land
+    in-place), so m_i is exact and the classic CIOS bound gives a final
+    value < N(1 + 2^-17) with our oversized R."""
+    L = spec.L
+    n_limbs = jnp.asarray(spec.n_limbs)
+    n0p = jnp.uint32(spec.nprime_limbs[0])
+    batch = jnp.broadcast_shapes(a.shape[:-1], b.shape[:-1])
+    a = jnp.broadcast_to(a, (*batch, L))
+    b = jnp.broadcast_to(b, (*batch, L))
+    t0 = jnp.zeros((*batch, L + 2), dtype=jnp.uint32)
+
+    def body(i, t):
+        ai = jax.lax.dynamic_index_in_dim(a, i, axis=-1, keepdims=True)
+        p = ai * b  # exact: both < 2^16 -> < 2^32
+        t = t.at[..., :L].add(p & MASK16)
+        t = t.at[..., 1 : L + 1].add(p >> 16)
+        m = (t[..., :1] * n0p) & MASK16
+        q = m * n_limbs
+        t = t.at[..., :L].add(q & MASK16)
+        t = t.at[..., 1 : L + 1].add(q >> 16)
+        t = t.at[..., 1].add(t[..., 0] >> 16)  # column 0 is now 0 mod 2^16
+        return jnp.concatenate([t[..., 1:], jnp.zeros_like(t[..., :1])], axis=-1)
+
+    t = jax.lax.fori_loop(0, L, body, t0)
+    out = normalize(t)[..., : L + 1]
+    return _cond_sub_n(spec, out)
+
+
+mont_mul = mont_mul_cios
 
 
 def mont_sqr(spec: FieldSpec, a):
@@ -249,6 +334,49 @@ def to_mont(spec: FieldSpec, a):
 def from_mont(spec: FieldSpec, a):
     one = jnp.zeros_like(a).at[..., 0].set(1)
     return mont_mul(spec, a, one)
+
+
+def reduce_lazy(spec: FieldSpec, x):
+    """Reduce a lazy limb array (raw sums of < 2^15 canonical elements, limbs
+    < 2^31) to canonical form: one Montgomery pass with b = R mod N."""
+    x = _lazy_round(_lazy_round(x))
+    return mont_mul(spec, x, jnp.asarray(spec.one_mont))
+
+
+def dot_lazy(spec: FieldSpec, a, b, axis=-2):
+    """Inner product over a static axis: elementwise Montgomery products,
+    then a raw limb sum reduced in one Montgomery pass (the kernel analog of
+    the verifier's innerProduct, verification_halo2_kzg.hbs:64-69)."""
+    prods = mont_mul(spec, a, b)
+    return reduce_lazy(spec, jnp.sum(prods, axis=axis))
+
+
+def sum_lazy(spec: FieldSpec, a, axis=-2):
+    return reduce_lazy(spec, jnp.sum(a, axis=axis))
+
+
+def batch_inv(spec: FieldSpec, xs, axis: int = -2):
+    """Montgomery-trick batch inversion along a static axis (the reference's
+    batchInverses, LagrangePolynomialEvaluation.hs:60-76), with a single
+    Fermat chain at the root. Zero inputs produce zeros (callers guard)."""
+    xs_m = jnp.moveaxis(xs, axis, 0)  # (K, ..., L)
+
+    def fwd(acc, x):
+        nxt = mont_mul(spec, acc, x)
+        return nxt, acc  # prefix products EXCLUSIVE
+
+    one = jnp.broadcast_to(jnp.asarray(spec.one_mont), xs_m.shape[1:]).astype(jnp.uint32)
+    total, prefix_excl = jax.lax.scan(fwd, one, xs_m)
+    inv_total = mont_inv(spec, total)
+
+    def bwd(acc, inp):
+        x, pre = inp
+        out = mont_mul(spec, acc, pre)
+        acc = mont_mul(spec, acc, x)
+        return acc, out
+
+    _, inv_rev = jax.lax.scan(bwd, inv_total, (xs_m[::-1], prefix_excl[::-1]))
+    return jnp.moveaxis(inv_rev[::-1], 0, axis)
 
 
 def is_zero(spec: FieldSpec, a):
@@ -309,6 +437,15 @@ class Field:
     def const(self, x: int):
         """Montgomery-domain constant as a jnp array."""
         return jnp.asarray(self.spec.to_mont(x))
+
+    def batch_inv(self, xs, axis=-2):
+        return batch_inv(self.spec, xs, axis)
+
+    def dot_lazy(self, a, b, axis=-2):
+        return dot_lazy(self.spec, a, b, axis)
+
+    def sum_lazy(self, a, axis=-2):
+        return sum_lazy(self.spec, a, axis)
 
     def zeros(self, shape=()):
         return jnp.zeros((*shape, self.spec.L), dtype=jnp.uint32)

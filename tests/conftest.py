@@ -14,6 +14,13 @@ if "xla_force_host_platform_device_count" not in flags:
 
 
 def pytest_configure(config):
+    # Persistent XLA compilation cache: the limb-arithmetic graphs are
+    # compile-heavy; repeated test runs amortize to near-zero.
+    import plutus_halo2_tpu
+
+    plutus_halo2_tpu.enable_compilation_cache(
+        os.path.join(os.path.dirname(__file__), "..", ".xla_cache")
+    )
     # Pin the default device to host CPU: unit tests are correctness tests and
     # eager dispatch over the remote TPU tunnel is latency-bound. Bench code
     # targets the TPU explicitly.
