@@ -5,7 +5,10 @@ Prints one JSON line:
   {"metric": "...", "value": N, "unit": "...", "vs_baseline": N}
 
 Baseline target (BASELINE.json north star): >= 10_000 simple_mul
-verifications/s per v5e chip."""
+verifications/s per v5e chip.
+
+Tries batch sizes from BENCH_BATCHES (comma list, largest first) and falls
+back to the next candidate if the backend rejects a shape."""
 
 import json
 import os
@@ -15,14 +18,7 @@ import time
 import numpy as np
 
 
-def main():
-    batch = int(os.environ.get("BENCH_BATCH", "1024"))
-    iters = int(os.environ.get("BENCH_ITERS", "3"))
-
-    import plutus_halo2_tpu
-
-    plutus_halo2_tpu.enable_compilation_cache()
-
+def run_once(batch: int, iters: int):
     import jax
 
     from plutus_halo2_tpu.models.circuits import SimpleMulCircuit
@@ -79,6 +75,30 @@ def main():
             }
         )
     )
+
+
+def main():
+    batches = [
+        int(b)
+        for b in os.environ.get(
+            "BENCH_BATCHES", os.environ.get("BENCH_BATCH", "1024,64")
+        ).split(",")
+    ]
+    iters = int(os.environ.get("BENCH_ITERS", "3"))
+
+    import plutus_halo2_tpu
+
+    plutus_halo2_tpu.enable_compilation_cache()
+
+    last_err = None
+    for batch in batches:
+        try:
+            run_once(batch, iters)
+            return
+        except Exception as e:  # noqa: BLE001 — backend shape limits fall through
+            last_err = e
+            print(f"# batch={batch} failed: {type(e).__name__}: {e}", file=sys.stderr)
+    raise SystemExit(f"all batch sizes failed; last error: {last_err}")
 
 
 if __name__ == "__main__":

@@ -217,35 +217,32 @@ def mul(p, scalars):
     return out
 
 
+def tree_sum(points):
+    """Point sum over a static axis -3 by halving tree: log2(K) add layers."""
+    t = points
+    k = t.shape[-3]
+    while k > 1:
+        half = k // 2
+        paired = add(t[..., :half, :, :], t[..., half : 2 * half, :, :])
+        if k % 2:
+            paired = jnp.concatenate([paired, t[..., 2 * half : k, :, :]], axis=-3)
+            half += 1
+        t = paired
+        k = half
+    return t[..., 0, :, :]
+
+
 def msm(points, scalars):
     """Batched multi-scalar multiplication over a static K axis:
     points (..., K, 3, L), scalars (..., K, L_fr) -> (..., 3, L).
 
-    Joint windowing: the 4 doublings per window are shared across all K terms
-    (the TPU answer to the reference's sequential fold, MSMEval.hs:20-27)."""
-    K = points.shape[-3]
-    table = _window_table(points)  # (..., K, 16, 3, L)
-    windows = _nibbles_msb_first(scalars)  # (64, ..., K)
-
-    def body(acc, w):
-        acc = double(double(double(double(acc))))
-        terms = _table_select(table, w)  # (..., K, 3, L)
-        # tree-reduce over K
-        t = terms
-        k = K
-        while k > 1:
-            half = k // 2
-            paired = add(t[..., :half, :, :], t[..., half : 2 * half, :, :])
-            if k % 2:
-                paired = jnp.concatenate([paired, t[..., 2 * half : k, :, :]], axis=-3)
-                half += 1
-            t = paired
-            k = half
-        return add(acc, t[..., 0, :, :]), None
-
-    acc0 = identity(points.shape[:-3])
-    out, _ = jax.lax.scan(body, acc0, windows)
-    return out
+    Per-point windowed double-and-add over the K axis, then one halving tree
+    (the TPU answer to the reference's sequential fold, MSMEval.hs:20-27).
+    This layout minimizes the number of field-mul dispatches — the dominant
+    cost in the XLA graph (perf_probe) — versus sharing doublings across K
+    and tree-adding inside every window: 64*(4 dbl + 1 add) + one final tree
+    instead of 64*(4 dbl + ~K adds)."""
+    return tree_sum(mul(points, scalars))
 
 
 def is_on_curve(p):

@@ -295,6 +295,12 @@ def mont_mul_cios(spec: FieldSpec, a, b):
     return _cond_sub_n(spec, out)
 
 
+# Default Montgomery multiply. The conv form wins on narrow dependent chains
+# (perf_probe: 22us vs 92us per mul) but its per-element Toeplitz gather
+# materializes (..., 2L, 4L) intermediates, which destroys wide batched shapes
+# (decompress/MSM measured 4-6x slower at batch 256). CIOS is latency-bound
+# but shape-independent; the hot wide paths move to Pallas kernels
+# (ops/pallas_*.py) where the limb loop is straight-line Mosaic vector code.
 mont_mul = mont_mul_cios
 
 

@@ -1,0 +1,151 @@
+#!/usr/bin/env python
+"""Stage-level TPU microbenchmarks: times each verifier stage and both
+Montgomery-mul variants at a given batch size, to locate the latency floor.
+
+Usage: PYTHONPATH=/root/repo:$PYTHONPATH python tools/perf_probe.py [BATCH] [stage...]
+Stages: mul, chain, pairing, msm, blake, decompress (default: all)."""
+
+import sys
+import time
+
+import numpy as np
+
+import jax  # noqa: E402 — after axon site registration via PYTHONPATH
+
+
+def fetch(out):
+    """Force completion: block_until_ready is unreliable through the axon
+    tunnel, so materialize every output leaf on the host."""
+    return [np.asarray(x) for x in jax.tree.leaves(out)]
+
+
+def timeit(name, fn, *args):
+    jfn = jax.jit(fn)
+    t0 = time.time()
+    out = fetch(jfn(*args))
+    compile_s = time.time() - t0
+    times = []
+    for _ in range(3):
+        t0 = time.time()
+        fetch(jfn(*args))
+        times.append(time.time() - t0)
+    print(f"{name:32s} run={min(times)*1e3:9.2f} ms  compile={compile_s:7.1f} s", flush=True)
+    return out
+
+
+def main():
+    import plutus_halo2_tpu
+
+    plutus_halo2_tpu.enable_compilation_cache()
+    import jax
+
+    B = int(sys.argv[1]) if len(sys.argv) > 1 else 256
+    stages = set(sys.argv[2:]) or {
+        "mul", "chain", "pairing", "msm", "blake", "decompress", "verify"
+    }
+    dev = jax.devices()[0]
+    print(f"device={dev} batch={B}", flush=True)
+
+    from plutus_halo2_tpu.ops import curve as jc, limb
+    from plutus_halo2_tpu.ops import pairing as jp
+    from plutus_halo2_tpu.ops.blake2b import blake2b_256
+    from plutus_halo2_tpu.refimpl import curve as rc
+
+    spec = limb.FP_SPEC
+    a = jax.device_put(np.stack([spec.to_mont(3)] * B), dev)
+    b = jax.device_put(np.stack([spec.to_mont(5)] * B), dev)
+
+    if "mul" in stages:
+        timeit("mont_mul_cios x1", lambda x, y: limb.mont_mul_cios(spec, x, y), a, b)
+        timeit("mont_mul_conv x1", lambda x, y: limb.mont_mul_conv(spec, x, y), a, b)
+
+    if "chain" in stages:
+        # 1000 sequential dependent muls — measures per-mul latency floor
+        def chain(mulfn):
+            def f(x, y):
+                import jax as _jax
+
+                def body(c, _):
+                    return mulfn(spec, c, y), None
+
+                out, _ = _jax.lax.scan(body, x, None, length=1000)
+                return out
+
+            return f
+
+        timeit("1000 seq cios muls", chain(limb.mont_mul_cios), a, b)
+        timeit("1000 seq conv muls", chain(limb.mont_mul_conv), a, b)
+
+    if "blake" in stages:
+        msgs = jax.device_put(np.zeros((B, 1152), dtype=np.uint8), dev)
+        timeit("blake2b_256 1152B", blake2b_256, msgs)
+
+    if "decompress" in stages:
+        raw = np.stack(
+            [np.frombuffer(rc.g1_compress(rc.g1_mul(rc.G1_GEN, 7)), dtype=np.uint8)] * B
+        )
+        npts = 16
+        raw16 = jax.device_put(np.stack([raw] * npts, axis=1), dev)
+        timeit("decompress 16 pts", lambda r: jc.decompress(r)[0], raw16)
+
+    if "msm" in stages:
+        K = 24
+        pts = np.stack(
+            [np.stack([jc.host_point_to_mont(rc.g1_mul(rc.G1_GEN, i + 2)) for i in range(K)])] * B
+        )
+        scs = np.stack([np.stack([limb.FR_SPEC.encode(12345 + i) for i in range(K)])] * B)
+        pts_d, scs_d = jax.device_put(pts, dev), jax.device_put(scs, dev)
+        timeit(f"msm K={K}", jc.msm, pts_d, scs_d)
+
+    if "verify" in stages:
+        from plutus_halo2_tpu.models.circuits import SimpleMulCircuit
+        from plutus_halo2_tpu.models.plan import FLAVOR_HALO2
+        from plutus_halo2_tpu.models.verifier_jax import JaxVerifier
+        from plutus_halo2_tpu.refimpl.keygen import keygen
+        from plutus_halo2_tpu.refimpl.prover import prove
+        from plutus_halo2_tpu.refimpl.srs import TrapdoorSRS
+
+        circuit = SimpleMulCircuit()
+        pk, plan = keygen(circuit, flavor=FLAVOR_HALO2, srs=TrapdoorSRS.from_seed(b"bench-srs"))
+        inputs = [42, 42, 42]
+        proof = np.frombuffer(prove(pk, plan, circuit, inputs, seed=b"probe"), dtype=np.uint8)
+        proofs = jax.device_put(np.stack([proof] * B), dev)
+        ver = JaxVerifier(plan)
+        pis = jax.device_put(ver.encode_public_inputs([inputs] * B), dev)
+        out = timeit("full verify", ver._verify_impl, proofs, pis)
+        assert bool(out[0][0]), "verify probe rejected a valid proof"
+
+    if "pairing" in stages:
+        from plutus_halo2_tpu.refimpl.field import Q, fr_inv
+
+        tau = 0xDEADBEEF
+        poly = lambda t: (3 * t * t + 7) % Q
+        z, yv = 5, poly(5)
+        W = rc.g1_mul(rc.G1_GEN, (poly(tau) - yv) * fr_inv(tau - z) % Q)
+        er = rc.g1_mul(rc.G1_GEN, 12345)
+        prep1 = jp.prepare_g2(rc.g2_mul(rc.G2_GEN, tau))
+        prep2 = jp.prepare_g2(rc.G2_GEN)
+        elx = jax.device_put(np.stack([spec.to_mont(W[0])] * B), dev)
+        ely = jax.device_put(np.stack([spec.to_mont(W[1])] * B), dev)
+        erx = jax.device_put(np.stack([spec.to_mont(er[0])] * B), dev)
+        ery = jax.device_put(np.stack([spec.to_mont(er[1])] * B), dev)
+        inf = jax.device_put(np.zeros(B, dtype=bool), dev)
+
+        timeit(
+            "miller (2 pairs)",
+            lambda ax, ay, bx, by, i: jp.miller_prepared(
+                [((ax, ay, i), prep1), ((bx, by, i), prep2)]
+            ),
+            elx, ely, erx, ery, inf,
+        )
+        timeit(
+            "pairing_check (2 pairs)",
+            lambda ax, ay, bx, by, i: jp.pairing_check(
+                [((ax, ay, i), prep1), ((bx, by, i), prep2)]
+            ),
+            elx, ely, erx, ery, inf,
+        )
+
+
+if __name__ == "__main__":
+    main()
