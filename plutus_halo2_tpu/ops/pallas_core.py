@@ -56,12 +56,22 @@ def _carry_once(x):
     return lo + hi_up
 
 
+def staged_broadcast(x, shape):
+    """broadcast_to in Mosaic-friendly stages: lanes first, then leading dims
+    (a single broadcast touching both sublanes and lanes is unimplemented)."""
+    if x.shape == tuple(shape):
+        return x
+    if x.shape[-1] != shape[-1]:
+        x = jnp.broadcast_to(x, (*x.shape[:-1], shape[-1]))
+    return jnp.broadcast_to(x, shape)
+
+
 def _tril_mask(K: int):
     """Strict lower-triangular (K, K, 1) mask built from 2D iota (Pallas-safe:
     no captured array constants)."""
-    row = jax.lax.broadcasted_iota(jnp.int32, (K, K), 0)
-    col = jax.lax.broadcasted_iota(jnp.int32, (K, K), 1)
-    return (col < row)[..., None]
+    row = jax.lax.broadcasted_iota(jnp.int32, (K, K, 1), 0)
+    col = jax.lax.broadcasted_iota(jnp.int32, (K, K, 1), 1)
+    return col < row
 
 
 class KField:
@@ -114,7 +124,7 @@ class KField:
         return jnp.zeros((*shape[:-1], self.L, shape[-1]), dtype=jnp.uint32)
 
     def one(self, shape):
-        return jnp.broadcast_to(
+        return staged_broadcast(
             self._row("one_mont"), (*shape[:-1], self.L, shape[-1])
         ).astype(jnp.uint32)
 
@@ -126,7 +136,16 @@ class KField:
         K = cols.shape[-2]
         g = cols >> 16  # in {0, 1}
         p = (cols & MASK16) == MASK16
-        s = jnp.cumsum(jnp.where(p, 0, 1).astype(jnp.int32), axis=-2)
+        # inclusive prefix sum along the limb axis, log-step (Mosaic has no
+        # cumsum primitive)
+        s = jnp.where(p, 0, 1).astype(jnp.int32)
+        shift = 1
+        while shift < K:
+            shifted = jnp.concatenate(
+                [jnp.zeros_like(s[..., :shift, :]), s[..., :-shift, :]], axis=-2
+            )
+            s = s + shifted
+            shift *= 2
         s_km1 = jnp.concatenate(
             [jnp.zeros_like(s[..., :1, :]), s[..., :-1, :]], axis=-2
         )
@@ -137,7 +156,7 @@ class KField:
 
     def _cond_sub_n(self, s):
         """s: (..., L+1, B) canonical limbs, value < 2N -> (..., L, B) < N."""
-        z = self.normalize(s + self._row("neg_n", ext=True))
+        z = self.normalize(s + staged_broadcast(self._row("neg_n", ext=True), s.shape))
         ge = z[..., -1:, :] > 0
         return jnp.where(ge, z[..., : self.L, :], s[..., : self.L, :])
 
@@ -155,7 +174,9 @@ class KField:
         one = jnp.concatenate(
             [jnp.ones_like(a[..., :1, :]), jnp.zeros_like(a)], axis=-2
         )
-        s = self.normalize(a_ext + self._row("n", ext=True) + comp_b + one)
+        s = self.normalize(
+            a_ext + staged_broadcast(self._row("n", ext=True), a_ext.shape) + comp_b + one
+        )
         s = jnp.concatenate([s[..., :-1, :], jnp.zeros_like(s[..., :1, :])], axis=-2)
         return self._cond_sub_n(s)
 
@@ -167,11 +188,16 @@ class KField:
         (inside a Pallas kernel each step is straight-line Mosaic vector code;
         there is no XLA per-op dispatch to amortize)."""
         L = self.L
-        n_col = self._row("n")
+        # the per-limb-sliced operand must be natively lane-wide: slicing a
+        # lane-broadcast value makes Mosaic emit an unsupported two-axis
+        # (1,1)->(L,B) broadcast; the product is commutative, so swap
+        if a.shape[-1] == 1 and b.shape[-1] != 1:
+            a, b = b, a
         batch = jnp.broadcast_shapes(a.shape[:-2], b.shape[:-2])
         lanes = jnp.broadcast_shapes(a.shape[-1:], b.shape[-1:])[0]
-        a = jnp.broadcast_to(a, (*batch, L, lanes))
-        b = jnp.broadcast_to(b, (*batch, L, lanes))
+        n_col = staged_broadcast(self._row("n"), (L, lanes))
+        a = staged_broadcast(a, (*batch, L, lanes))
+        b = staged_broadcast(b, (*batch, L, lanes))
         t = jnp.zeros((*batch, L + 2, lanes), dtype=jnp.uint32)
         z1 = jnp.zeros((*batch, 1, lanes), dtype=jnp.uint32)
         z2 = jnp.zeros((*batch, 2, lanes), dtype=jnp.uint32)

@@ -88,14 +88,27 @@ def main():
         raw16 = jax.device_put(np.stack([raw] * npts, axis=1), dev)
         timeit("decompress 16 pts", lambda r: jc.decompress(r)[0], raw16)
 
-    if "msm" in stages:
+    if "msm" in stages or "msmp" in stages:
         K = 24
         pts = np.stack(
             [np.stack([jc.host_point_to_mont(rc.g1_mul(rc.G1_GEN, i + 2)) for i in range(K)])] * B
         )
         scs = np.stack([np.stack([limb.FR_SPEC.encode(12345 + i) for i in range(K)])] * B)
         pts_d, scs_d = jax.device_put(pts, dev), jax.device_put(scs, dev)
-        timeit(f"msm K={K}", jc.msm, pts_d, scs_d)
+        if "msm" in stages:
+            timeit(f"msm K={K}", jc.msm, pts_d, scs_d)
+        if "msmp" in stages:
+            from plutus_halo2_tpu.ops import pallas_curve
+            from plutus_halo2_tpu.refimpl.field import Q
+
+            pmsm = pallas_curve.make_msm_kernel(K)
+            out = timeit(f"pallas msm K={K}", pmsm, pts_d, scs_d)[0]
+            got = jc.host_point_from_mont(np.asarray(out)[0])
+            exp = None
+            for i in range(K):
+                exp = rc.g1_add(exp, rc.g1_mul(rc.g1_mul(rc.G1_GEN, i + 2), 12345 + i))
+            assert got == exp, "pallas msm wrong on TPU"
+            print("pallas msm result verified", flush=True)
 
     if "verify" in stages:
         from plutus_halo2_tpu.models.circuits import SimpleMulCircuit
