@@ -1,0 +1,62 @@
+"""Generic Pallas field kernels: static-exponent power ladders.
+
+Used for the hot fixed-exponent chains of the verifier — sqrt in G1
+decompression ((p+1)/4), Fermat inversions (p-2 / q-2) — which in the XLA
+graph are lax.scan ladders paying per-iteration dispatch (~50-100us/mul,
+perf_probe). Here one pallas_call runs the whole ladder from an SMEM bit
+schedule. Layout: (B, W, L) canonical inputs -> same out; W is a static
+width axis (e.g. proof points) folded into sublanes."""
+
+from __future__ import annotations
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+from jax.experimental import pallas as pl
+from jax.experimental.pallas import tpu as pltpu
+
+from .limb import FieldSpec
+from .pallas_core import KField
+
+LANES = 128
+
+
+def make_pow_kernel(spec: FieldSpec, exponent: int, width: int,
+                    lanes: int = LANES, interpret: bool = False):
+    """Build pow(x (B, width, L) Montgomery) -> x^exponent (B, width, L)."""
+    kf = KField(spec)
+    L = spec.L
+    bits = np.array([[int(c) for c in bin(exponent)[3:]]], dtype=np.int32)
+    nb = bits.shape[1]
+
+    def kernel(consts_ref, bits_ref, x_ref, out_ref):
+        F = kf.bind(consts_ref[:, :])
+        x = x_ref[:, :, :]  # (width, L, B)
+
+        def body(i, acc):
+            acc = F.sqr(acc)
+            with_x = F.mont_mul(acc, x)
+            return jnp.where(bits_ref[0, i] != 0, with_x, acc)
+
+        out_ref[:, :, :] = jax.lax.fori_loop(0, nb, body, x)
+
+    def pow_(x):
+        B = x.shape[0]
+        assert B % lanes == 0 and x.shape[1] == width
+        nbt = B // lanes
+        xk = jnp.moveaxis(x, 0, -1)  # (width, L, B)
+        out = pl.pallas_call(
+            kernel,
+            grid=(nbt,),
+            in_specs=[
+                pl.BlockSpec((4, L + 1), lambda b: (0, 0), memory_space=pltpu.VMEM),
+                pl.BlockSpec(memory_space=pltpu.SMEM),
+                pl.BlockSpec((width, L, lanes), lambda b: (0, 0, b), memory_space=pltpu.VMEM),
+            ],
+            out_specs=pl.BlockSpec((width, L, lanes), lambda b: (0, 0, b), memory_space=pltpu.VMEM),
+            out_shape=jax.ShapeDtypeStruct((width, L, B), jnp.uint32),
+            interpret=interpret,
+        )(kf.const_args(), bits, xk)
+        return jnp.moveaxis(out, -1, 0)
+
+    return pow_

@@ -3,10 +3,8 @@
 One pallas_call runs the whole check e(P1,Q1)*e(P2,Q2) == 1 for a batch of
 128 proofs per grid step: projective->affine conversion (Fermat inversion),
 the Miller loop over host-prepared G2 line ladders (ops/pairing.prepare_g2),
-and the final exponentiation — all as straight-line / fori_loop Mosaic code.
-Replaces ops/pairing.pairing_check on the hot path (the XLA version is
-latency-bound at ~50-100us per field-mul dispatch and intermittently trips an
-axon backend error at batch >= 128).
+and the final exponentiation — all as fori_loop Mosaic code with no per-op
+XLA dispatch. Replaces ops/pairing.pairing_check on the hot path.
 
 Math and constants are identical to ops/pairing.py + ops/tower.py (same
 Montgomery FieldSpec, same verified hard-part chain 3h = (x-1)^2 (x+p)
@@ -27,7 +25,7 @@ from jax.experimental.pallas import tpu as pltpu
 
 from ..refimpl.field import BLS_X, P
 from .limb import FP_SPEC
-from .pallas_core import KField, kfp
+from .pallas_core import kfp, staged_broadcast, _carry_once
 from . import tower as xtower
 
 LANES = 128
@@ -88,36 +86,26 @@ def k2_xi(F, a):
     )
 
 
-def k2_inv(F, a):
+def fp_inv_ladder(F, a, pm2bits_ref):
+    """Fermat inversion a^(p-2) as a 380-step fori ladder; exponent bits come
+    from SMEM (shape (1, NB) int32, MSB first, leading 1 dropped)."""
+    nb = pm2bits_ref.shape[-1]
+
+    def body(i, acc):
+        acc = F.sqr(acc)
+        with_a = F.mont_mul(acc, a)
+        return jnp.where(pm2bits_ref[0, i] != 0, with_a, acc)
+
+    return jax.lax.fori_loop(0, nb, body, a)
+
+
+def k2_inv(F, a, fpinv):
     a0, a1 = a[..., 0, :, :], a[..., 1, :, :]
     norm = F.add(F.mont_mul(a0, a0), F.mont_mul(a1, a1))
-    ninv = kfp_inv(F, norm)
+    ninv = fpinv(norm)
     return jnp.stack(
         [F.mont_mul(a0, ninv), F.neg(F.mont_mul(a1, ninv))], axis=-3
     )
-
-
-_PM2_BITS = np.array([int(c) for c in bin(P - 2)[2:]], dtype=np.int32)
-
-
-def kfp_inv(F, a):
-    """Fermat inversion a^(p-2): fori ladder with a static bit schedule baked
-    into SMEM-free jnp constants is not allowed in kernels, so the schedule is
-    reconstructed per-iteration from the exponent's limbs via iota compares.
-    Simpler: a 381-step fori_loop indexing a (381,)-bit row built from iota is
-    overkill; instead the bits are closed over as Python ints via an unrolled
-    *chunked* ladder: 381 squarings with multiplies predicated by static bits,
-    emitted in groups inside a fori over chunks of uniform shape. To keep the
-    kernel small we use the uniform ladder: every step squares and multiplies,
-    selecting by the static bit — but selection by a static Python bool folds
-    away at trace time, so this is just the standard unrolled ladder."""
-    bits = bin(P - 2)[2:]
-    acc = a
-    for c in bits[1:]:
-        acc = F.sqr(acc)
-        if c == "1":
-            acc = F.mont_mul(acc, a)
-    return acc
 
 
 # ---------------------------------------------------------------------------
@@ -136,15 +124,23 @@ def k12_zero(F, lanes):
 
 def k12_one(F, lanes):
     one = F.one((lanes,))
-    out = k12_zero(F, lanes)
-    return out.at[0, 0].set(one)
+    zero = F.zeros((lanes,))
+    c0 = jnp.stack([one, zero], axis=0)  # (2, L, B)
+    rest = jnp.zeros((5, 2, F.L, lanes), dtype=jnp.uint32)
+    return jnp.concatenate([c0[None], rest], axis=0)
 
 
-def _route(F, prods, xi_p, out_slots, wraps):
-    """prods, xi_p: (T, 2, L, B) canonical fp2 values; lazily sum into 6 slots
-    (raw limb adds, each slot gets <= 6 terms) and reduce once."""
+def _reduce_lazy(F, x):
+    """One Montgomery pass with b = R mod N after two carry folds."""
+    x = _carry_once(_carry_once(x))
+    return F.mont_mul(x, F._row("one_mont"))
+
+
+def _route(F, prods, xi_p, out_slots, wraps, n_slots=6):
+    """prods, xi_p: (T, 2, L, B) canonical fp2 values; lazily sum into slots
+    (raw limb adds, <= 6 terms each) and reduce once."""
     slots = []
-    for s in range(6):
+    for s in range(n_slots):
         terms = [
             (xi_p if wraps[t] else prods)[t]
             for t in range(len(out_slots))
@@ -154,21 +150,14 @@ def _route(F, prods, xi_p, out_slots, wraps):
         for x in terms[1:]:
             acc = acc + x  # raw limb sums, < 6 * 2^16 per column
         slots.append(acc)
-    lazy = jnp.stack(slots, axis=0)  # (6, 2, L, B)
-    return _reduce_lazy(F, lazy)
-
-
-def _reduce_lazy(F, x):
-    """One Montgomery pass with b = R mod N after two carry folds."""
-    from .pallas_core import _carry_once
-
-    x = _carry_once(_carry_once(x))
-    return F.mont_mul(x, F._row("one_mont"))
+    return _reduce_lazy(F, jnp.stack(slots, axis=0))
 
 
 def k12_mul(F, a, b):
-    ai = a[_IDX_I]  # (36, 2, L, B)
-    bj = b[_IDX_J]
+    # index-free coefficient pairing (gathers would capture index constants,
+    # which pallas kernels reject): repeat <-> tile
+    ai = jnp.repeat(a, 6, axis=0)  # (36, 2, L, B): a[i] at slot 6i+j
+    bj = jnp.concatenate([b] * 6, axis=0)  # b[j] at slot 6i+j
     prods = k2_mul(F, ai, bj)
     xi_p = k2_xi(F, prods)
     return _route(F, prods, xi_p, _OUT, _WRAP)
@@ -182,13 +171,14 @@ _SP_FI = np.repeat(np.arange(6), 3)
 _SP_CK = np.tile(np.array([0, 2, 3]), 6)
 _SP_OUT = (_SP_FI + _SP_CK) % 6
 _SP_WRAP = (_SP_FI + _SP_CK) >= 6
+_SP_LSEL = np.arange(18) % 3
 
 
 def k12_mul_sparse023(F, f, c0, c2, c3):
     """f * (c0 + c2 w^2 + c3 w^3), the M-twist line shape."""
     line = jnp.stack([c0, c2, c3], axis=0)  # (3, 2, L, B)
-    f_sel = f[_SP_FI]  # (18, 2, L, B)
-    l_sel = line[np.arange(18) % 3]
+    f_sel = jnp.repeat(f, 3, axis=0)  # (18, ...): f[i] at slot 3i+k
+    l_sel = jnp.concatenate([line] * 6, axis=0)  # line[k] at slot 3i+k
     prods = k2_mul(F, f_sel, l_sel)
     xi_p = k2_xi(F, prods)
     return _route(F, prods, xi_p, _SP_OUT, _SP_WRAP)
@@ -196,19 +186,16 @@ def k12_mul_sparse023(F, f, c0, c2, c3):
 
 def k12_conj(F, a):
     neg = k2_neg(F, a)
-    keep = np.array([1, 0, 1, 0, 1, 0], dtype=bool)
-    return jnp.where(jnp.asarray(keep)[:, None, None, None], a, neg)
+    # keep even w-powers: full-shape iota avoids multi-axis mask broadcasts
+    idx = jax.lax.broadcasted_iota(jnp.int32, a.shape, 0)
+    return jnp.where(idx % 2 == 0, a, neg)
 
 
-def k12_frobenius(F, a, gam_k):
-    """gam_k: (6, 2, L, 1) Montgomery gamma column for power k; odd k callers
-    pass conjugated coefficients themselves."""
-    return k2_mul(F, a, gam_k)
-
-
-def k12_select(F, cond, a, b):
-    """cond scalar bool (or (B,)): select whole Fp12."""
-    return jnp.where(cond, a, b)
+def k12_frobenius(F, a, gam_k, odd: bool):
+    """a^(p^k)-style coefficient transform: conjugate coefficients for odd k,
+    then scale coefficient i by gamma_k^i (gam_k: (6, 2, L, B-or-1))."""
+    coeffs = k2_conj(F, a) if odd else a
+    return k2_mul(F, coeffs, gam_k)
 
 
 # Fp6 on (3, 2, L, B) over v, v^3 = xi — for the inverse tower
@@ -218,37 +205,18 @@ _OUT3 = (_I3 + _J3) % 3
 _WRAP3 = (_I3 + _J3) >= 3
 
 
-def _route3(F, prods, xi_p):
-    slots = []
-    for s in range(3):
-        terms = [
-            (xi_p if _WRAP3[t] else prods)[t] for t in range(9) if _OUT3[t] == s
-        ]
-        acc = terms[0]
-        for x in terms[1:]:
-            acc = acc + x
-        slots.append(acc)
-    return _reduce_lazy(F, jnp.stack(slots, axis=0))
-
-
 def k6_mul(F, a, b):
-    prods = k2_mul(F, a[_I3], b[_J3])
-    return _route3(F, prods, k2_xi(F, prods))
-
-
-def k6_sqr(F, a):
-    return k6_mul(F, a, a)
-
-
-def k6_sub(F, a, b):
-    return k2_sub(F, a, b)
+    prods = k2_mul(
+        F, jnp.repeat(a, 3, axis=0), jnp.concatenate([b] * 3, axis=0)
+    )
+    return _route(F, prods, k2_xi(F, prods), _OUT3, _WRAP3, n_slots=3)
 
 
 def k6_mul_by_v(F, a):
     return jnp.concatenate([k2_xi(F, a[2:3]), a[0:1], a[1:2]], axis=0)
 
 
-def k6_inv(F, a):
+def k6_inv(F, a, fpinv):
     a0, a1, a2 = a[0], a[1], a[2]
     lhs = jnp.stack([a0, a1, a2, a0, a1, a0], axis=0)
     rhs = jnp.stack([a0, a2, a2, a1, a1, a2], axis=0)
@@ -256,25 +224,22 @@ def k6_inv(F, a):
     c0 = k2_sub(F, pr[0], k2_xi(F, pr[1]))
     c1 = k2_sub(F, k2_xi(F, pr[2]), pr[3])
     c2 = k2_sub(F, pr[4], pr[5])
-    lhs2 = jnp.stack([a0, a2, a1], axis=0)
-    rhs2 = jnp.stack([c0, c1, c2], axis=0)
-    pr2 = k2_mul(F, lhs2, rhs2)
+    pr2 = k2_mul(F, jnp.stack([a0, a2, a1], axis=0), jnp.stack([c0, c1, c2], axis=0))
     t = k2_add(F, pr2[0], k2_xi(F, k2_add(F, pr2[1], pr2[2])))
-    tinv = k2_inv(F, t)
+    tinv = k2_inv(F, t, fpinv)
     return k2_mul(F, jnp.stack([c0, c1, c2], axis=0), tinv[None])
 
 
-def k12_inv(F, a):
-    A = a[0::2]  # (3, 2, L, B)
-    B_ = a[1::2]
-    D = k6_sub(F, k6_sqr(F, A), k6_mul_by_v(F, k6_sqr(F, B_)))
-    Dinv = k6_inv(F, D)
+def k12_inv(F, a, fpinv):
+    pairs = a.reshape(3, 2, *a.shape[1:])  # (3, even/odd, 2, L, B)
+    A = pairs[:, 0]  # even w-powers (the Fp6 subalgebra over v = w^2)
+    B_ = pairs[:, 1]
+    D = k2_sub(F, k6_mul(F, A, A), k6_mul_by_v(F, k6_mul(F, B_, B_)))
+    Dinv = k6_inv(F, D, fpinv)
     c_even = k6_mul(F, A, Dinv)
-    c_odd = k6_mul(F, B_, Dinv)
-    out = k12_zero(F, a.shape[-1])
-    out = out.at[0::2].set(c_even)
-    out = out.at[1::2].set(k2_neg(F, c_odd))
-    return out
+    c_odd = k2_neg(F, k6_mul(F, B_, Dinv))
+    inter = jnp.stack([c_even, c_odd], axis=1)  # (3, 2, 2, L, B)
+    return inter.reshape(6, *a.shape[1:])
 
 
 # ---------------------------------------------------------------------------
@@ -291,24 +256,26 @@ def _pack_prep(prep) -> tuple[np.ndarray, np.ndarray]:
 
 def make_pairing_check(prep1, prep2, lanes: int = LANES, interpret: bool = False):
     """Build check(el (B,3,L), er (B,3,L)) -> (B,) bool computing
-    e(el, Q1) * e(er, Q2) == 1 with host-prepared Q ladders."""
+    e(el, Q1) * e(er, Q2) == 1 with host-prepared Q ladders (projective
+    Montgomery inputs; affine conversion happens in-kernel)."""
     lines1, mask1 = _pack_prep(prep1)
     lines2, mask2 = _pack_prep(prep2)
     lines = np.stack([lines1, lines2])  # (2, 63, 4, 2, L)
     masks = np.stack([mask1, mask2])  # (2, 63)
-    xbits = np.array([int(c) for c in _BITS], dtype=np.int32)  # (63,)
+    xbits = np.array([[int(c) for c in _BITS]], dtype=np.int32)  # (1, 63)
+    pm2bits = np.array([[int(c) for c in bin(P - 2)[3:]]], dtype=np.int32)
     gammas = np.stack([xtower._GAMMAS[k] for k in (1, 2, 3)])  # (3, 6, 2, L)
 
-    def kernel(consts_ref, gam_ref, lines_ref, masks_ref, xbits_ref,
+    def kernel(consts_ref, gam_ref, lines_ref, masks_ref, xbits_ref, pm2_ref,
                points_ref, out_ref):
         F = kfp.bind(consts_ref[:, :])
+        fpinv = lambda v: fp_inv_ladder(F, v, pm2_ref)  # noqa: E731
         gam = gam_ref[:, :, :, :][..., None]  # (3, 6, 2, L, 1)
 
-        # --- projective -> affine (batched Fermat inversion over both points)
+        # --- projective -> affine (one batched Fermat chain for both points)
         pts = points_ref[:, :, :, :]  # (2, 3, L, B)
         Z = pts[:, 2]
-        inf = F.is_zero(Z)[:, None, :]  # (2, 1, B) -> broadcast over limbs
-        zi = kfp_inv(F, Z)  # (2, L, B)
+        zi = fpinv(Z)  # (2, L, B)
         xa = F.mont_mul(pts[:, 0], zi)
         ya = F.mont_mul(pts[:, 1], zi)
         inf_mask = F.is_zero(Z)  # (2, B)
@@ -317,26 +284,23 @@ def make_pairing_check(prep1, prep2, lanes: int = LANES, interpret: bool = False
         zero2 = jnp.zeros_like(one2)
 
         def line_mul(f, j, i, kind):
-            """Multiply f by the kind ('dbl' 0 / 'add' 2) line of pair j at
-            iteration i."""
+            """Multiply f by the `kind` line of pair j at Miller step i."""
             base = 0 if kind == "dbl" else 2
             lam = lines_ref[j, pl.ds(i, 1), base][0][..., None]  # (2, L, 1)
             cc = lines_ref[j, pl.ds(i, 1), base + 1][0][..., None]
-            xp = xa[j]
-            yp = ya[j]
-            isinf = inf_mask[j]  # (B,)
-            c2 = k2_mul_fp(F, lam, xp)  # (2, L, B)
-            c3 = jnp.stack([F.neg(yp), F.zeros((lanes,))], axis=0)
-            c0 = jnp.broadcast_to(cc, c3.shape).astype(jnp.uint32)
+            isinf = inf_mask[j][None, None, :]  # (1, 1, B)
+            c2 = k2_mul_fp(F, lam, xa[j])  # (2, L, B)
+            c3 = jnp.stack([F.neg(ya[j]), F.zeros((lanes,))], axis=0)
+            c0 = staged_broadcast(cc, c3.shape).astype(jnp.uint32)
             if kind == "add":
-                active = masks_ref[j, i] != 0  # scalar
+                # inactive steps use the lam=0, c=1 dummies from prepare_g2,
+                # but c3 (-yp) must be masked off to make the line == 1
+                active = masks_ref[j, i] != 0
                 c3 = jnp.where(active, c3, zero2)
-                c0 = jnp.where(active, c0, jnp.where(jnp.bool_(True), c0, c0))
-                # inactive iterations use lam=0, c=1 dummies baked by prepare_g2
-            # identity point contributes the factor 1
-            c0 = jnp.where(isinf[None, None, :], one2, c0)
-            c2 = jnp.where(isinf[None, None, :], zero2, c2)
-            c3 = jnp.where(isinf[None, None, :], zero2, c3)
+            # identity G1 point contributes the factor 1
+            c0 = jnp.where(isinf, one2, c0)
+            c2 = jnp.where(isinf, zero2, c2)
+            c3 = jnp.where(isinf, zero2, c3)
             return k12_mul_sparse023(F, f, c0, c2, c3)
 
         def miller_body(i, f):
@@ -348,29 +312,31 @@ def make_pairing_check(prep1, prep2, lanes: int = LANES, interpret: bool = False
 
         f = jax.lax.fori_loop(0, 63, miller_body, k12_one(F, lanes))
 
-        # --- final exponentiation -----------------------------------------
+        # --- final exponentiation -------------------------------------------
         def exp_by_neg_x(m):
             def body(i, acc):
                 acc = k12_sqr(F, acc)
                 with_m = k12_mul(F, acc, m)
-                bit = xbits_ref[i] != 0
-                return jnp.where(bit, with_m, acc)
+                return jnp.where(xbits_ref[0, i] != 0, with_m, acc)
 
-            acc = jax.lax.fori_loop(1, 63, body, m)
-            # first ladder step for bit index 0 is the implicit leading 1
-            return k12_conj(F, acc)
+            acc = jax.lax.fori_loop(0, 63, body, m)
+            return k12_conj(F, acc)  # negative x: cyclotomic inverse
 
-        t = k12_mul(F, k12_conj(F, f), k12_inv(F, f))
-        m = k12_mul(F, k12_frobenius(F, t, gam[1]), t)
+        t = k12_mul(F, k12_conj(F, f), k12_inv(F, f, fpinv))
+        m = k12_mul(F, k12_frobenius(F, t, gam[1], odd=False), t)
         a = k12_mul(F, exp_by_neg_x(m), k12_conj(F, m))
         b = k12_mul(F, exp_by_neg_x(a), k12_conj(F, a))
-        c_ = k12_mul(F, exp_by_neg_x(b), k12_frobenius(F, k2_conj(F, b), gam[0]))
+        c_ = k12_mul(F, exp_by_neg_x(b), k12_frobenius(F, b, gam[0], odd=True))
         d = exp_by_neg_x(exp_by_neg_x(c_))
-        e = k12_mul(F, k12_mul(F, d, k12_frobenius(F, c_, gam[1])), k12_conj(F, c_))
+        e = k12_mul(
+            F, k12_mul(F, d, k12_frobenius(F, c_, gam[1], odd=False)), k12_conj(F, c_)
+        )
         out = k12_mul(F, e, k12_mul(F, k12_sqr(F, m), m))
 
-        ok = jnp.all(out == k12_one(F, lanes), axis=(0, 1, 2))  # (B,)
-        out_ref[:, :] = ok[None, :].astype(jnp.uint32)
+        diff = jnp.sum(
+            (out != k12_one(F, lanes)).astype(jnp.int32), axis=(0, 1, 2)
+        )  # (B,)
+        out_ref[:, :] = (diff == 0)[None, :].astype(jnp.uint32)
 
     def check(el, er):
         B = el.shape[0]
@@ -387,12 +353,13 @@ def make_pairing_check(prep1, prep2, lanes: int = LANES, interpret: bool = False
                 pl.BlockSpec((2, 63, 4, 2, L), lambda b: (0, 0, 0, 0, 0), memory_space=pltpu.VMEM),
                 pl.BlockSpec(memory_space=pltpu.SMEM),
                 pl.BlockSpec(memory_space=pltpu.SMEM),
+                pl.BlockSpec(memory_space=pltpu.SMEM),
                 pl.BlockSpec((2, 3, L, lanes), lambda b: (0, 0, 0, b), memory_space=pltpu.VMEM),
             ],
             out_specs=pl.BlockSpec((1, lanes), lambda b: (0, b), memory_space=pltpu.VMEM),
             out_shape=jax.ShapeDtypeStruct((1, B), jnp.uint32),
             interpret=interpret,
-        )(kfp.const_args(), gammas, lines, masks, xbits, pts)
+        )(kfp.const_args(), gammas, lines, masks, xbits, pm2bits, pts)
         return ok[0].astype(bool)
 
     return check

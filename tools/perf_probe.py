@@ -128,7 +128,7 @@ def main():
         out = timeit("full verify", ver._verify_impl, proofs, pis)
         assert bool(out[0][0]), "verify probe rejected a valid proof"
 
-    if "pairing" in stages:
+    if "pairing" in stages or "pairingp" in stages:
         from plutus_halo2_tpu.refimpl.field import Q, fr_inv
 
         tau = 0xDEADBEEF
@@ -143,6 +143,21 @@ def main():
         erx = jax.device_put(np.stack([spec.to_mont(er[0])] * B), dev)
         ery = jax.device_put(np.stack([spec.to_mont(er[1])] * B), dev)
         inf = jax.device_put(np.zeros(B, dtype=bool), dev)
+
+        if "pairingp" in stages:
+            from plutus_halo2_tpu.ops import pallas_pairing
+
+            check = pallas_pairing.make_pairing_check(prep1, prep2)
+            el_p = np.stack([jc.host_point_to_mont(W)] * B)
+            er_p = np.stack([jc.host_point_to_mont(er)] * B)
+            # corrupt one row to exercise the reject path
+            el_p[1] = jc.host_point_to_mont(rc.g1_mul(rc.G1_GEN, 99))
+            el_d = jax.device_put(el_p, dev)
+            er_d = jax.device_put(er_p, dev)
+            out = timeit("pallas pairing_check", check, el_d, er_d)[0]
+            assert bool(out[0]) and not bool(out[1]), f"pallas pairing wrong: {out[:4]}"
+            print("pallas pairing result verified", flush=True)
+            return
 
         timeit(
             "miller (2 pairs)",
