@@ -128,9 +128,17 @@ def _precompute_delta_pows(expr, out):
 
 class JaxVerifier:
     """verify(proof_bytes (B, PLEN) uint8, public_inputs (B, n_pi, L) canonical
-    Fr limbs) -> (B,) bool. Build once per plan; jit once per batch shape."""
+    Fr limbs) -> (B,) bool. Build once per plan; jit once per batch shape.
 
-    def __init__(self, plan: CircuitPlan):
+    Hot stages (MSM, pairing, fixed-exponent ladders) run as Pallas kernels
+    when targeting TPU with a lane-aligned batch (B % 128 == 0); otherwise the
+    pure-XLA graph path is used. Both paths are bit-exact."""
+
+    def __init__(self, plan: CircuitPlan, use_pallas: bool | None = None):
+        if use_pallas is None:
+            use_pallas = jax.default_backend() not in ("cpu",)
+        self.use_pallas = use_pallas
+        self._pallas_cache = {}
         self.plan = plan
         self.layout = build_layout(plan)
         vk = plan.vk
@@ -174,6 +182,43 @@ class JaxVerifier:
         ]
 
         self._jitted = {}
+
+    # -- pallas kernel plumbing ----------------------------------------------
+    def _pallas_ok(self, B: int) -> bool:
+        from ..ops.pallas_curve import LANES
+
+        return self.use_pallas and B % LANES == 0
+
+    def _pallas_msm(self, K: int):
+        key = ("msm", K)
+        if key not in self._pallas_cache:
+            from ..ops.pallas_curve import make_msm_kernel
+
+            self._pallas_cache[key] = make_msm_kernel(K)
+        return self._pallas_cache[key]
+
+    def _pallas_pow(self, spec_name: str, exponent: int, width: int):
+        key = ("pow", spec_name, exponent, width)
+        if key not in self._pallas_cache:
+            from ..ops.pallas_field import make_pow_kernel
+
+            spec = FR_SPEC if spec_name == "fr" else FP_SPEC
+            self._pallas_cache[key] = make_pow_kernel(spec, exponent, width)
+        return self._pallas_cache[key]
+
+    def _pallas_pairing(self):
+        key = ("pairing",)
+        if key not in self._pallas_cache:
+            from ..ops.pallas_pairing import make_pairing_check
+
+            self._pallas_cache[key] = make_pairing_check(self.prep_sg2, self.prep_g2)
+        return self._pallas_cache[key]
+
+    def _msm(self, B: int, pts_arr, coeff_arr):
+        K = pts_arr.shape[-3]
+        if self._pallas_ok(B):
+            return self._pallas_msm(K)(pts_arr, coeff_arr)
+        return jc.msm(pts_arr, coeff_arr)
 
     # ------------------------------------------------------------------
     def encode_public_inputs(self, pis) -> np.ndarray:
@@ -256,7 +301,12 @@ class JaxVerifier:
             [np.arange(48) + lay.point_offsets[n] for n in point_names]
         )
         pt_raw = proof[:, jnp.asarray(pt_idx)]  # (B, n_p, 48)
-        pts, pt_valid = jc.decompress(pt_raw)
+        sqrt_fn = (
+            self._pallas_pow("fp", (FP_SPEC.N + 1) >> 2, len(point_names))
+            if self._pallas_ok(B)
+            else None
+        )
+        pts, pt_valid = jc.decompress(pt_raw, sqrt_fn=sqrt_fn)
         points = {n: pts[:, i] for i, n in enumerate(point_names)}
         all_valid = jnp.all(pt_valid, axis=-1)
 
@@ -271,11 +321,17 @@ class JaxVerifier:
                 return x
             return fr.mul(x, jnp.asarray(self.rot_mult[off]))
 
+        fr_root_inv = (
+            (lambda t: self._pallas_pow("fr", Q - 2, 1)(t[:, None, :])[:, 0, :])
+            if self._pallas_ok(B)
+            else None
+        )
+
         def lagrange_basis(rotations_const):
             # l_i(x) = rot_i * (x^n - 1) * bary / (x - rot_i)
             rots = jnp.asarray(rotations_const)  # (K, L)
             diffs = fr.sub(x[:, None, :], rots[None, :, :])
-            invs = fr.batch_inv(diffs, axis=-2)
+            invs = fr.batch_inv(diffs, axis=-2, inv_fn=fr_root_inv)
             common = fr.mul(fr.sub(xn, one), jnp.asarray(self.bary_mont))
             return fr.mul(fr.mul(invs, common[:, None, :]), rots[None, :, :])
 
@@ -327,7 +383,12 @@ class JaxVerifier:
         y = ch["y"]
         for expr in self.exprs:
             h_eval = fr.add(fr.mul(h_eval, y), eval_expr(expr, env))
-        vanishing_s = fr.mul(h_eval, fr.inv(fr.sub(xn, one)))
+        if self._pallas_ok(B):
+            fr_inv1 = self._pallas_pow("fr", Q - 2, 1)
+            inv_xn1 = fr_inv1(fr.sub(xn, one)[:, None, :])[:, 0, :]
+        else:
+            inv_xn1 = fr.inv(fr.sub(xn, one))
+        vanishing_s = fr.mul(h_eval, inv_xn1)
 
         # ---- evaluation-reference resolution -----------------------------
         def eval_value(ref):
@@ -392,6 +453,11 @@ class JaxVerifier:
             el, er_msm = self._multiopen_gwc(plan, ch, scalars, rot_point, eval_value, com_terms, points, neg_g1)
 
         # ---- pairing -----------------------------------------------------
+        er = jc.neg(er_msm)
+        if self._pallas_ok(B):
+            pairing_ok = self._pallas_pairing()(el, er)
+            return pairing_ok & all_valid
+
         def affine(p):
             inf = jc.is_identity(p)
             zi = fp.inv(p[..., 2, :])
@@ -400,7 +466,6 @@ class JaxVerifier:
             return xa, ya, inf
 
         el_x, el_y, el_inf = affine(el)
-        er = jc.neg(er_msm)
         er_x, er_y, er_inf = affine(er)
         pairing_ok = jpair.pairing_check(
             [
@@ -477,8 +542,13 @@ class JaxVerifier:
                 t = fr.sub(x3, p)
                 z_den = t if z_den is None else fr.mul(z_den, t)
             # batch-invert [dens..., z_den]
+            root_inv = (
+                (lambda t: self._pallas_pow("fr", Q - 2, 1)(t[:, None, :])[:, 0, :])
+                if self._pallas_ok(B)
+                else None
+            )
             inv_stack = fr.batch_inv(
-                jnp.stack(dens + [z_den], axis=-2), axis=-2
+                jnp.stack(dens + [z_den], axis=-2), axis=-2, inv_fn=root_inv
             )
             r_eval = fr.zeros((B,))
             for j, (ev, num, _den) in enumerate(r_terms):
@@ -508,7 +578,7 @@ class JaxVerifier:
 
         pts_arr = jnp.stack([p for _c, p in msm_terms], axis=-3)
         coeff_arr = jnp.stack([fr.from_mont(c) for c, _p in msm_terms], axis=-2)
-        er = jc.msm(pts_arr, coeff_arr)
+        er = self._msm(B, pts_arr, coeff_arr)
         return points["pi"], er
 
     def _multiopen_gwc(self, plan, ch, scalars, rot_point, eval_value, com_terms, points, neg_g1):
@@ -540,8 +610,8 @@ class JaxVerifier:
 
         lp = jnp.stack([p for _c, p in left_terms], axis=-3)
         lc = jnp.stack([fr.from_mont(c) for c, _p in left_terms], axis=-2)
-        el = jc.msm(lp, lc)
+        el = self._msm(B, lp, lc)
         rp = jnp.stack([p for _c, p in right_terms], axis=-3)
         rc = jnp.stack([fr.from_mont(c) for c, _p in right_terms], axis=-2)
-        er = jc.msm(rp, rc)
+        er = self._msm(B, rp, rc)
         return el, er

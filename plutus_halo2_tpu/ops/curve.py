@@ -269,10 +269,11 @@ def _bytes_be_to_limbs(b):
     return jnp.concatenate([limbs24, pad], axis=-1)
 
 
-def decompress(comp_bytes):
+def decompress(comp_bytes, sqrt_fn=None):
     """Batched G1 decompression: (..., 48) uint8 -> (point (..., 3, L),
     valid (...,) bool). Invalid encodings yield valid=False (the caller folds
-    this into the verdict; the on-chain builtin would abort the script)."""
+    this into the verdict; the on-chain builtin would abort the script).
+    sqrt_fn optionally overrides the x^((p+1)/4) ladder (Pallas kernel)."""
     flags = comp_bytes[..., 0]
     comp_flag = (flags & 0x80) != 0
     inf_flag = (flags & 0x40) != 0
@@ -287,7 +288,10 @@ def decompress(comp_bytes):
 
     xm = fp.to_mont(x_limbs)
     rhs = fp.add(fp.mul(fp.mul(xm, xm), xm), jnp.broadcast_to(jnp.asarray(_B), xm.shape))
-    y = fp.pow(rhs, (FP_SPEC.N + 1) >> 2)
+    if sqrt_fn is not None:
+        y = sqrt_fn(rhs)
+    else:
+        y = fp.pow(rhs, (FP_SPEC.N + 1) >> 2)
     root_ok = fp.eq(fp.mul(y, y), rhs)
 
     # sign: y > -y in the integer sense — compare canonical (non-Montgomery)

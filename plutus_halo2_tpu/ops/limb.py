@@ -361,10 +361,11 @@ def sum_lazy(spec: FieldSpec, a, axis=-2):
     return reduce_lazy(spec, jnp.sum(a, axis=axis))
 
 
-def batch_inv(spec: FieldSpec, xs, axis: int = -2):
+def batch_inv(spec: FieldSpec, xs, axis: int = -2, inv_fn=None):
     """Montgomery-trick batch inversion along a static axis (the reference's
     batchInverses, LagrangePolynomialEvaluation.hs:60-76), with a single
-    Fermat chain at the root. Zero inputs produce zeros (callers guard)."""
+    Fermat chain at the root (overridable with a Pallas ladder via inv_fn).
+    Zero inputs produce zeros (callers guard)."""
     xs_m = jnp.moveaxis(xs, axis, 0)  # (K, ..., L)
 
     def fwd(acc, x):
@@ -373,7 +374,7 @@ def batch_inv(spec: FieldSpec, xs, axis: int = -2):
 
     one = jnp.broadcast_to(jnp.asarray(spec.one_mont), xs_m.shape[1:]).astype(jnp.uint32)
     total, prefix_excl = jax.lax.scan(fwd, one, xs_m)
-    inv_total = mont_inv(spec, total)
+    inv_total = (inv_fn or (lambda t: mont_inv(spec, t)))(total)
 
     def bwd(acc, inp):
         x, pre = inp
@@ -444,8 +445,8 @@ class Field:
         """Montgomery-domain constant as a jnp array."""
         return jnp.asarray(self.spec.to_mont(x))
 
-    def batch_inv(self, xs, axis=-2):
-        return batch_inv(self.spec, xs, axis)
+    def batch_inv(self, xs, axis=-2, inv_fn=None):
+        return batch_inv(self.spec, xs, axis, inv_fn=inv_fn)
 
     def dot_lazy(self, a, b, axis=-2):
         return dot_lazy(self.spec, a, b, axis)

@@ -358,6 +358,9 @@ def make_pairing_check(prep1, prep2, lanes: int = LANES, interpret: bool = False
             ],
             out_specs=pl.BlockSpec((1, lanes), lambda b: (0, b), memory_space=pltpu.VMEM),
             out_shape=jax.ShapeDtypeStruct((1, B), jnp.uint32),
+            # peak live state (f + k12_mul temporaries + line ladder) is ~17MB
+            # at 128 lanes, just over the default 16MB scoped-vmem limit
+            compiler_params=pltpu.CompilerParams(vmem_limit_bytes=100 * 1024 * 1024),
             interpret=interpret,
         )(kfp.const_args(), gammas, lines, masks, xbits, pm2bits, pts)
         return ok[0].astype(bool)
