@@ -6,6 +6,10 @@ its halo2 fork; here it is first-class). All values are Python ints mod Q."""
 from __future__ import annotations
 
 from .field import Q, FR_GENERATOR, FR_ROOT_OF_UNITY, FR_TWO_ADICITY, fr_inv
+from .. import native
+
+# Below this size the ctypes pack/unpack overhead beats the C++ win.
+_NATIVE_MIN_N = 128
 
 
 def domain_omega(k: int) -> int:
@@ -33,6 +37,10 @@ def ntt(a: list[int], omega: int) -> list[int]:
     """In-order radix-2 NTT: a_j -> sum_i a_i omega^{ij}."""
     n = len(a)
     assert n & (n - 1) == 0
+    if n >= _NATIVE_MIN_N:
+        out = native.ntt(a, omega)
+        if out is not None:
+            return out
     a = _bit_reverse(a)
     length = 2
     while length <= n:
@@ -54,7 +62,7 @@ def intt(a: list[int], omega: int) -> list[int]:
     n = len(a)
     inv_n = fr_inv(n)
     out = ntt(a, fr_inv(omega))
-    return [x * inv_n % Q for x in out]
+    return poly_scale(out, inv_n)
 
 
 def lagrange_to_coeff(values: list[int], omega: int) -> list[int]:
@@ -70,6 +78,11 @@ def coset_evaluate(coeffs: list[int], ext_size: int, ext_omega: int, coset: int 
     """Evaluate a polynomial on the coset {c * ext_omega^i} of size ext_size."""
     assert len(coeffs) <= ext_size
     scaled = list(coeffs) + [0] * (ext_size - len(coeffs))
+    if len(coeffs) >= _NATIVE_MIN_N:
+        weighted = native.powers_mul_array(coeffs, coset)
+        if weighted is not None:
+            scaled[: len(coeffs)] = weighted
+            return ntt(scaled, ext_omega)
     c_pow = 1
     for i in range(len(coeffs)):
         scaled[i] = scaled[i] * c_pow % Q
@@ -80,6 +93,10 @@ def coset_evaluate(coeffs: list[int], ext_size: int, ext_omega: int, coset: int 
 def coset_interpolate(values: list[int], ext_omega: int, coset: int = FR_GENERATOR) -> list[int]:
     coeffs = intt(list(values), ext_omega)
     c_inv = fr_inv(coset)
+    if len(coeffs) >= _NATIVE_MIN_N:
+        weighted = native.powers_mul_array(coeffs, c_inv)
+        if weighted is not None:
+            return weighted
     c_pow = 1
     for i in range(len(coeffs)):
         coeffs[i] = coeffs[i] * c_pow % Q
@@ -114,6 +131,10 @@ def poly_add(a: list[int], b: list[int]) -> list[int]:
 
 
 def poly_scale(a: list[int], k: int) -> list[int]:
+    if len(a) >= _NATIVE_MIN_N:
+        out = native.scale_array(a, k)
+        if out is not None:
+            return out
     return [x * k % Q for x in a]
 
 
