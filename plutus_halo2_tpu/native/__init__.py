@@ -24,18 +24,37 @@ _lib = None
 _tried = False
 
 
+_CFLAGS = ["-O3", "-shared", "-fPIC"]  # no -march=native: the cached .so may
+# travel with the checkout to a different CPU (container images, shared homes)
+
+
+def _so_path() -> str:
+    """Cache key = hash of source + flags + platform, embedded in the
+    filename, so compiler-flag or source changes (not just mtime) rebuild."""
+    import hashlib
+    import platform
+
+    with open(_SRC, "rb") as f:
+        src = f.read()
+    key = hashlib.sha256(
+        src + repr(_CFLAGS).encode() + platform.machine().encode()
+    ).hexdigest()[:16]
+    return os.path.join(_HERE, "_build", f"libph2native-{key}.so")
+
+
 def _build() -> str | None:
-    os.makedirs(os.path.dirname(_SO), exist_ok=True)
-    if os.path.exists(_SO) and os.path.getmtime(_SO) >= os.path.getmtime(_SRC):
-        return _SO
-    tmp = _SO + ".tmp"
-    cmd = ["g++", "-O3", "-march=native", "-shared", "-fPIC", "-o", tmp, _SRC]
+    so = _so_path()
+    os.makedirs(os.path.dirname(so), exist_ok=True)
+    if os.path.exists(so):
+        return so
+    tmp = so + ".tmp"
+    cmd = ["g++", *_CFLAGS, "-o", tmp, _SRC]
     try:
         subprocess.run(cmd, check=True, capture_output=True, timeout=120)
     except (OSError, subprocess.SubprocessError):
         return None
-    os.replace(tmp, _SO)
-    return _SO
+    os.replace(tmp, so)
+    return so
 
 
 def get_lib():
@@ -66,7 +85,9 @@ def get_lib():
 
 
 def _pack(values) -> bytes:
-    return b"".join(v.to_bytes(32, "little") for v in values)
+    # reduce mod Q first so the native path agrees with the pure-Python
+    # fallbacks (which apply % Q) for unreduced or negative inputs
+    return b"".join((v % Q).to_bytes(32, "little") for v in values)
 
 
 def _unpack(buf: bytes, n: int) -> list[int]:

@@ -6,6 +6,9 @@ against a TPU batch queue:
 
   submitter: mint tx, redeemer = [proof, i1..i3],   here: submit(ProofBundle)
              NFT name = blake2b256(proof ∥ inputs)        tag = same hash
+  on-chain validator gate: NFT name must equal      here: optional expected_tag
+             blake2b256(proof ∥ inputs)                   checked per submission
+             (validators/verifier.ak:12-31)
   Blockfrost submit_transaction (api.rs:52-73)      here: batch dispatch to the
                                                           jitted JaxVerifier
   wait_for_tx 5s polling (api.rs:75-80)             here: Future.result()
@@ -17,12 +20,17 @@ lingers briefly to coalesce concurrent submissions."""
 from __future__ import annotations
 
 import hashlib
+import logging
 import queue
 import threading
 from concurrent.futures import Future
 from dataclasses import dataclass
 
 import numpy as np
+
+log = logging.getLogger(__name__)
+
+_CLOSE = object()  # queue sentinel waking the worker on close()
 
 
 @dataclass(frozen=True)
@@ -49,18 +57,33 @@ class VerificationService:
     Args:
       plan: the CircuitPlan all submissions must target.
       batch_size: static device batch (one XLA program is compiled for it).
+        Defaults to 128 — the TPU lane width; non-multiples of 128 silently
+        lose the Pallas fast path (verifier_jax._pallas_ok), so a warning is
+        logged when that happens.
       linger_s: how long to wait for more submissions before dispatching a
         partial (padded) batch.
       device: jax device; defaults to jax.devices()[0].
     """
 
-    def __init__(self, plan, batch_size: int = 32, linger_s: float = 0.02, device=None):
+    def __init__(self, plan, batch_size: int = 128, linger_s: float = 0.02, device=None):
+        from ..models.layout import build_layout
         from ..models.verifier_jax import JaxVerifier
+        from ..ops.pallas_curve import LANES
 
         self.plan = plan
         self.batch_size = int(batch_size)
         self.linger_s = linger_s
         self._verifier = JaxVerifier(plan)
+        if self._verifier.use_pallas and self.batch_size % LANES != 0:
+            log.warning(
+                "batch_size=%d is not a multiple of %d: the Pallas TPU fast "
+                "path is disabled and verification falls back to the slower "
+                "XLA graph path",
+                self.batch_size,
+                LANES,
+            )
+        self._proof_len = build_layout(plan).proof_len
+        self._n_pi = plan.vk.num_public_inputs
         self._device = device
         self._q: queue.Queue = queue.Queue()
         self._closed = threading.Event()
@@ -69,67 +92,131 @@ class VerificationService:
         self.dispatches = 0
         self.verified = 0
 
-    def submit(self, bundle: ProofBundle) -> Future:
-        """Enqueue a bundle; the Future resolves to (tag, accepted: bool)."""
+    def submit(self, bundle: ProofBundle, expected_tag: bytes | None = None) -> Future:
+        """Enqueue a bundle; the Future resolves to (tag, accepted: bool).
+
+        Malformed bundles (wrong proof length / public-input arity) are
+        rejected here so one bad submission cannot poison a whole batch.
+
+        expected_tag is the analog of the on-chain validator's NFT-name gate
+        (validators/verifier.ak:12-31): when supplied, the bundle is accepted
+        only if blake2b256(proof ∥ inputs) matches — a mismatch resolves to
+        (tag, False) without touching the device."""
         if self._closed.is_set():
             raise RuntimeError("service closed")
         fut: Future = Future()
+        if len(bundle.proof) != self._proof_len:
+            fut.set_exception(
+                ValueError(
+                    f"proof length {len(bundle.proof)} != expected {self._proof_len}"
+                )
+            )
+            return fut
+        if len(bundle.public_inputs) != self._n_pi:
+            fut.set_exception(
+                ValueError(
+                    f"{len(bundle.public_inputs)} public inputs != expected {self._n_pi}"
+                )
+            )
+            return fut
+        if expected_tag is not None and bundle.tag != expected_tag:
+            fut.set_result((bundle.tag, False))
+            return fut
         self._q.put((bundle, fut))
+        if self._closed.is_set():
+            # close() may have raced past the earlier check; make sure the
+            # worker wakes up to drain this item before exiting.
+            self._q.put(_CLOSE)
         return fut
 
     def close(self):
         """Drain the queue and stop the worker."""
         self._closed.set()
+        self._q.put(_CLOSE)
         self._worker.join()
 
     # -- worker ---------------------------------------------------------
 
     def _take_batch(self):
         items = []
-        try:
-            items.append(self._q.get(timeout=0.05))
-        except queue.Empty:
+        got = self._q.get()  # blocks; close() wakes us with the sentinel
+        if got is _CLOSE:
             return items
+        items.append(got)
         deadline = threading.Event()
         # linger: give concurrent submitters a chance to fill the batch
         t = threading.Timer(self.linger_s, deadline.set)
         t.start()
         while len(items) < self.batch_size and not deadline.is_set():
             try:
-                items.append(self._q.get(timeout=self.linger_s / 4 or 0.005))
+                got = self._q.get(timeout=self.linger_s / 4 or 0.005)
+                if got is _CLOSE:
+                    break
+                items.append(got)
             except queue.Empty:
                 pass
         t.cancel()
         return items
 
+    @staticmethod
+    def _resolve(fut: Future, *, result=None, exc=None):
+        """Resolve a future, tolerating client-side cancellation — a cancelled
+        Future must never kill the worker thread (set_result raises
+        InvalidStateError on it)."""
+        try:
+            if exc is not None:
+                fut.set_exception(exc)
+            else:
+                fut.set_result(result)
+        except Exception:  # noqa: BLE001 — cancelled/already-resolved future
+            pass
+
+    def _dispatch(self, items, dev):
+        import jax
+
+        bundles = [b for b, _ in items]
+        pad = self.batch_size - len(bundles)
+        padded = bundles + [bundles[-1]] * pad
+        try:
+            proofs = np.stack(
+                [np.frombuffer(b.proof, dtype=np.uint8) for b in padded]
+            )
+            pis = self._verifier.encode_public_inputs(
+                [list(b.public_inputs) for b in padded]
+            )
+            out = np.asarray(
+                self._verifier.verify(
+                    jax.device_put(proofs, dev), jax.device_put(pis, dev)
+                )
+            )
+        except Exception as exc:  # resolve futures rather than hang clients
+            for _, fut in items:
+                self._resolve(fut, exc=exc)
+            return
+        self.dispatches += 1
+        self.verified += len(bundles)
+        for (bundle, fut), verdict in zip(items, out[: len(bundles)]):
+            self._resolve(fut, result=(bundle.tag, bool(verdict)))
+
     def _run(self):
         import jax
 
         dev = self._device or jax.devices()[0]
-        while not (self._closed.is_set() and self._q.empty()):
-            items = self._take_batch()
-            if not items:
-                continue
-            bundles = [b for b, _ in items]
-            pad = self.batch_size - len(bundles)
-            padded = bundles + [bundles[-1]] * pad
-            try:
-                proofs = np.stack(
-                    [np.frombuffer(b.proof, dtype=np.uint8) for b in padded]
-                )
-                pis = self._verifier.encode_public_inputs(
-                    [list(b.public_inputs) for b in padded]
-                )
-                out = np.asarray(
-                    self._verifier.verify(
-                        jax.device_put(proofs, dev), jax.device_put(pis, dev)
-                    )
-                )
-            except Exception as exc:  # resolve futures rather than hang clients
-                for _, fut in items:
-                    fut.set_exception(exc)
-                continue
-            self.dispatches += 1
-            self.verified += len(bundles)
-            for (bundle, fut), verdict in zip(items, out[: len(bundles)]):
-                fut.set_result((bundle.tag, bool(verdict)))
+        try:
+            while not (self._closed.is_set() and self._q.empty()):
+                items = self._take_batch()
+                if not items:
+                    continue
+                self._dispatch(items, dev)
+        finally:
+            # worker exiting (close() or a fatal error): fail anything left
+            # in the queue so no client blocks forever on an orphaned Future.
+            while True:
+                try:
+                    got = self._q.get_nowait()
+                except queue.Empty:
+                    break
+                if got is _CLOSE:
+                    continue
+                _, fut = got
+                self._resolve(fut, exc=RuntimeError("service worker exited"))
