@@ -80,8 +80,15 @@ def main():
     print(f"spec verifier rejects wrong message: {not ok_msg}")
     assert not ok_msg
 
+    # trivial all-1 inputs (code_emitters_aiken.rs:627-639) must reject
+    ok_triv, _ = verify(plan, proof, [1] * len(inputs))
+    print(f"spec verifier rejects trivial all-1 inputs: {not ok_triv}")
+    assert not ok_triv
+
     out_dir = os.path.join(os.path.dirname(__file__), "artifacts")
     os.makedirs(out_dir, exist_ok=True)
+    with open(os.path.join(out_dir, f"{name}_proof_invalid.hex"), "w") as f:
+        f.write(export_proof(bytes(bad)))
     with open(os.path.join(out_dir, f"{name}_proof.hex"), "w") as f:
         f.write(export_proof(proof))
     with open(os.path.join(out_dir, f"{name}_proof.json"), "w") as f:

@@ -29,6 +29,29 @@ def main():
     print(f"verifies: {ok}")
     assert ok
 
+    # negative matrix (code_emitters_aiken.rs:594-639): tampered proof,
+    # negated inputs, trivial all-1 inputs — all must reject
+    from plutus_halo2_tpu.refimpl.field import Q
+
+    bad = bytearray(proof)
+    bad[48 * 2 + 2] ^= 0x40
+    ok_bad, _ = verify(plan, bytes(bad), inputs)
+    ok_neg, _ = verify(plan, proof, [(-v) % Q for v in inputs])
+    ok_triv, _ = verify(plan, proof, [1] * len(inputs))
+    print(f"rejects tampered/negated/trivial: {not ok_bad}/{not ok_neg}/{not ok_triv}")
+    assert not (ok_bad or ok_neg or ok_triv)
+
+    out_dir = os.path.join(os.path.dirname(__file__), "artifacts")
+    os.makedirs(out_dir, exist_ok=True)
+    from plutus_halo2_tpu.utils.serialization import export_proof, export_public_inputs
+
+    with open(os.path.join(out_dir, "lookup_table_proof.hex"), "w") as f:
+        f.write(export_proof(proof))
+    with open(os.path.join(out_dir, "lookup_table_proof_invalid.hex"), "w") as f:
+        f.write(export_proof(bytes(bad)))
+    with open(os.path.join(out_dir, "lookup_table_public_input.hex"), "w") as f:
+        f.write(export_public_inputs(inputs))
+
 
 if __name__ == "__main__":
     main()

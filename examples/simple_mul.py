@@ -53,6 +53,17 @@ def main():
     bad[48 * 2 + 2] ^= 0x40
     ok_bad, _ = verify(plan, bytes(bad), inputs)
     print(f"spec verifier rejects tampered proof: {not ok_bad}")
+    assert not ok_bad
+
+    # negated and trivial all-1 public inputs must reject (the reference
+    # embeds the same negative cases, code_emitters_aiken.rs:594-639)
+    from plutus_halo2_tpu.refimpl.field import Q
+
+    ok_neg, _ = verify(plan, proof, [(-v) % Q for v in inputs])
+    ok_triv, _ = verify(plan, proof, [1] * len(inputs))
+    print(f"spec verifier rejects negated inputs: {not ok_neg}")
+    print(f"spec verifier rejects trivial all-1 inputs: {not ok_triv}")
+    assert not ok_neg and not ok_triv
 
     out_dir = os.path.join(os.path.dirname(__file__), "artifacts")
     os.makedirs(out_dir, exist_ok=True)
@@ -60,6 +71,9 @@ def main():
         f.write(export_proof(proof))
     with open(os.path.join(out_dir, "simple_mul_proof.json"), "w") as f:
         f.write(serialize_proof(proof))
+    # invalid-proof fixture next to the valid one (examples/simple_mul.rs:113-120)
+    with open(os.path.join(out_dir, "simple_mul_proof_invalid.hex"), "w") as f:
+        f.write(export_proof(bytes(bad)))
     with open(os.path.join(out_dir, "simple_mul_public_input.hex"), "w") as f:
         f.write(export_public_inputs(inputs))
     with open(os.path.join(out_dir, "simple_mul_vk.json"), "w") as f:

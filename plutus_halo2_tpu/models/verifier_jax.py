@@ -24,7 +24,7 @@ import numpy as np
 
 from ..ops import curve as jc
 from ..ops import pairing as jpair
-from ..ops.blake2b import blake2b_256, blake2b_256_multi
+from ..ops.blake2b import blake2b_256, blake2b_256_prefixes
 from ..ops.limb import FP_SPEC, FR_SPEC, fp, fr
 from ..refimpl.field import Q
 from .layout import build_layout
@@ -182,6 +182,11 @@ class JaxVerifier:
         ]
 
         self._jitted = {}
+        # static MSM sizes (after dedup), recorded at trace time per MSM
+        self.msm_term_counts: list[int] = []
+        # when set (by parallel.mesh.verify_2d), _msm point-shards over this
+        # mesh axis and reduces via all_gather + point-add tree
+        self.msm_axis_name: str | None = None
 
     # -- pallas kernel plumbing ----------------------------------------------
     def _pallas_ok(self, B: int) -> bool:
@@ -215,10 +220,18 @@ class JaxVerifier:
         return self._pallas_cache[key]
 
     def _msm(self, B: int, pts_arr, coeff_arr):
-        K = pts_arr.shape[-3]
-        if self._pallas_ok(B):
-            return self._pallas_msm(K)(pts_arr, coeff_arr)
-        return jc.msm(pts_arr, coeff_arr)
+        def base(p, s):
+            if self._pallas_ok(B):
+                return self._pallas_msm(p.shape[-3])(p, s)
+            return jc.msm(p, s)
+
+        if self.msm_axis_name is not None:
+            # inside a shard_map context: split the point axis over the mesh
+            # axis, reduce partials with all_gather + point-add tree
+            from ..parallel.mesh import shard_map_msm
+
+            return shard_map_msm(pts_arr, coeff_arr, self.msm_axis_name, base_msm=base)
+        return base(pts_arr, coeff_arr)
 
     # ------------------------------------------------------------------
     def encode_public_inputs(self, pis) -> np.ndarray:
@@ -270,12 +283,10 @@ class JaxVerifier:
                 buf, self._pi_bytes(pis[:, i, :]), (0, pos)
             )
 
+        # all squeezes hash nested prefixes of the one transcript buffer:
+        # chain the shared full blocks once, one final compression per squeeze
         sq_lengths = [mlen for _name, mlen in lay.squeezes]
-        maxpad = max(1, -(-max(sq_lengths) // 128)) * 128
-        msgs = jnp.zeros((B, len(sq_lengths), maxpad), dtype=jnp.uint8)
-        for s, mlen in enumerate(sq_lengths):
-            msgs = msgs.at[:, s, :mlen].set(buf[:, :mlen])
-        h1s = blake2b_256_multi(msgs, sq_lengths)  # (B, S, 32)
+        h1s = blake2b_256_prefixes(buf, sq_lengths)  # (B, S, 32)
         h2s = blake2b_256(h1s.reshape(B * len(sq_lengths), 32)).reshape(
             B, len(sq_lengths), 32
         )
@@ -409,48 +420,85 @@ class JaxVerifier:
                 return scalars[f"lookup_{ref[1]}_{ref[2]}"]
             raise ValueError(ref)
 
-        # commitment reference -> (point (B,3,L), or expansion into splits)
+        # commitment reference -> static point key (+ expansion into splits)
         n_splits = plan.num_vanishing_splits
 
         def com_terms(ref, coeff):
-            """Yield (coeff, point) MSM terms; vanishing_g expands into the
-            xn^i-scaled quotient splits (extraction/mod.rs:637-686)."""
+            """Yield (point_key, coeff) MSM terms; vanishing_g expands into
+            the xn^i-scaled quotient splits (extraction/mod.rs:637-686). The
+            static key lets duplicate points merge before the MSM kernel."""
             tag = ref[0]
             if tag == "vanishing_g":
                 c = coeff
                 for i in range(n_splits):
-                    yield (c, points[f"split_{i}"])
+                    yield (f"split_{i}", c)
                     if i != n_splits - 1:
                         c = fr.mul(c, xn)
                 return
             if tag == "advice_com":
-                pt = points[f"advice_{ref[1]}"]
+                key = f"advice_{ref[1]}"
             elif tag == "fixed_com":
-                pt = jnp.broadcast_to(jnp.asarray(self.fixed_coms[ref[1]]), (proof.shape[0], 3, FP_SPEC.L))
+                key = f"#fixed_{ref[1]}"
             elif tag == "perm_z_com":
-                pt = points[f"perm_z_{ref[1]}"]
+                key = f"perm_z_{ref[1]}"
             elif tag == "perm_common_com":
-                pt = jnp.broadcast_to(jnp.asarray(self.perm_coms[ref[1]]), (proof.shape[0], 3, FP_SPEC.L))
+                key = f"#perm_{ref[1]}"
             elif tag == "vanishing_rand":
-                pt = points["vanishing_rand"]
+                key = "vanishing_rand"
             elif tag == "lookup_z_com":
-                pt = points[f"lookup_z_{ref[1]}"]
+                key = f"lookup_z_{ref[1]}"
             elif tag == "lookup_perm_input_com":
-                pt = points[f"lookup_perm_input_{ref[1]}"]
+                key = f"lookup_perm_input_{ref[1]}"
             elif tag == "lookup_perm_table_com":
-                pt = points[f"lookup_perm_table_{ref[1]}"]
+                key = f"lookup_perm_table_{ref[1]}"
             else:
                 raise ValueError(ref)
-            yield (coeff, pt)
+            yield (key, coeff)
+
+        def resolve_point(key):
+            """Static key -> (B, 3, L) point array ('#'-prefixed = VK const)."""
+            B_ = proof.shape[0]
+            if key == "#neg_g1":
+                return jnp.broadcast_to(jnp.asarray(neg_g1), (B_, 3, FP_SPEC.L))
+            if key.startswith("#fixed_"):
+                return jnp.broadcast_to(
+                    jnp.asarray(self.fixed_coms[int(key[7:])]), (B_, 3, FP_SPEC.L)
+                )
+            if key.startswith("#perm_"):
+                return jnp.broadcast_to(
+                    jnp.asarray(self.perm_coms[int(key[6:])]), (B_, 3, FP_SPEC.L)
+                )
+            return points[key]
+
+        def dedup_terms(terms):
+            """Merge duplicate points by summing their scalars, insertion-
+            ordered — the plan-time analog of the reference's flatten_msm /
+            optimize_msm (code_emitters_aiken.rs:913-1016)."""
+            order, acc = [], {}
+            for key, c in terms:
+                if key in acc:
+                    acc[key] = fr.add(acc[key], c)
+                else:
+                    acc[key] = c
+                    order.append(key)
+            return [(k, acc[k]) for k in order]
+
+        def run_msm(terms):
+            terms = dedup_terms(terms)
+            self.msm_term_counts.append(len(terms))
+            pts_arr = jnp.stack([resolve_point(k) for k, _c in terms], axis=-3)
+            coeff_arr = jnp.stack([fr.from_mont(c) for _k, c in terms], axis=-2)
+            return self._msm(proof.shape[0], pts_arr, coeff_arr)
 
         from ..refimpl.curve import G1_GEN, g1_neg
 
         neg_g1 = jc.host_point_to_mont(g1_neg(G1_GEN))
 
+        self.msm_term_counts = []
         if plan.flavor == FLAVOR_HALO2:
-            el, er_msm = self._multiopen_halo2(plan, ch, scalars, rot_point, eval_value, com_terms, points, neg_g1, x)
+            el, er_msm = self._multiopen_halo2(plan, ch, scalars, rot_point, eval_value, com_terms, run_msm, points, x)
         else:
-            el, er_msm = self._multiopen_gwc(plan, ch, scalars, rot_point, eval_value, com_terms, points, neg_g1)
+            el, er_msm = self._multiopen_gwc(plan, ch, scalars, rot_point, eval_value, com_terms, run_msm, points)
 
         # ---- pairing -----------------------------------------------------
         er = jc.neg(er_msm)
@@ -476,7 +524,7 @@ class JaxVerifier:
         return pairing_ok & all_valid
 
     # ------------------------------------------------------------------
-    def _multiopen_halo2(self, plan, ch, scalars, rot_point, eval_value, com_terms, points, neg_g1, x):
+    def _multiopen_halo2(self, plan, ch, scalars, rot_point, eval_value, com_terms, run_msm, points, x):
         """Halo2-book accumulation (Halo2MultiOpenMSM.hs:59-97) assembled as
         one MSM; q-set evals/f_eval computed scalar-side."""
         B = x.shape[0]
@@ -572,17 +620,15 @@ class JaxVerifier:
             for j, cd in enumerate(members):
                 coeff = fr.mul(x4_powers[s], x1_powers[j])
                 msm_terms.extend(com_terms(cd[0], coeff))
-        msm_terms.append((x4_powers[n_sets], points["f_commitment"]))
-        msm_terms.append((v, jnp.broadcast_to(jnp.asarray(neg_g1), (B, 3, FP_SPEC.L))))
-        msm_terms.append((x3, points["pi"]))
-
-        pts_arr = jnp.stack([p for _c, p in msm_terms], axis=-3)
-        coeff_arr = jnp.stack([fr.from_mont(c) for c, _p in msm_terms], axis=-2)
-        er = self._msm(B, pts_arr, coeff_arr)
+        msm_terms.append(("f_commitment", x4_powers[n_sets]))
+        msm_terms.append(("#neg_g1", v))
+        msm_terms.append(("pi", x3))
+        er = run_msm(msm_terms)
         return points["pi"], er
 
-    def _multiopen_gwc(self, plan, ch, scalars, rot_point, eval_value, com_terms, points, neg_g1):
-        """GWC19 accumulation (GwcMultiOpenMSM.hs:96-135)."""
+    def _multiopen_gwc(self, plan, ch, scalars, rot_point, eval_value, com_terms, run_msm, points):
+        """GWC19 accumulation (GwcMultiOpenMSM.hs:96-135); duplicate points
+        (a commitment queried at several rotations) merge in run_msm."""
         from ..refimpl.multiopen import group_queries_by_rotation
 
         v_ch, u_ch = ch["v"], ch["u"]
@@ -594,10 +640,9 @@ class JaxVerifier:
         u_pow = fr.one((B,))
         final_eval = fr.zeros((B,))
         for g_idx, (rot, members) in enumerate(grouped):
-            w = points[f"w_{g_idx}"]
             z = rot_point(rot)
-            left_terms.append((u_pow, w))
-            right_terms.append((fr.mul(u_pow, z), w))
+            left_terms.append((f"w_{g_idx}", u_pow))
+            right_terms.append((f"w_{g_idx}", fr.mul(u_pow, z)))
             v_pow = fr.one((B,))
             inner = fr.zeros((B,))
             for com, ev in members:
@@ -606,12 +651,8 @@ class JaxVerifier:
                 v_pow = fr.mul(v_pow, v_ch)
             final_eval = fr.add(final_eval, fr.mul(u_pow, inner))
             u_pow = fr.mul(u_pow, u_ch)
-        right_terms.append((final_eval, jnp.broadcast_to(jnp.asarray(neg_g1), (B, 3, FP_SPEC.L))))
+        right_terms.append(("#neg_g1", final_eval))
 
-        lp = jnp.stack([p for _c, p in left_terms], axis=-3)
-        lc = jnp.stack([fr.from_mont(c) for c, _p in left_terms], axis=-2)
-        el = self._msm(B, lp, lc)
-        rp = jnp.stack([p for _c, p in right_terms], axis=-3)
-        rc = jnp.stack([fr.from_mont(c) for c, _p in right_terms], axis=-2)
-        er = self._msm(B, rp, rc)
+        el = run_msm(left_terms)
+        er = run_msm(right_terms)
         return el, er

@@ -42,12 +42,6 @@ def from_kernel_layout(x):
     return jnp.moveaxis(x, -1, 0)
 
 
-def _shift_down(x, k: int = 1):
-    """Drop k low limbs, append k zero limbs at the top (value //= 2^(16k))."""
-    zeros = jnp.zeros_like(x[..., :k, :])
-    return jnp.concatenate([x[..., k:, :], zeros], axis=-2)
-
-
 def _carry_once(x):
     """One value-preserving 16-bit carry fold along the limb axis."""
     lo = x & MASK16
@@ -64,14 +58,6 @@ def staged_broadcast(x, shape):
     if x.shape[-1] != shape[-1]:
         x = jnp.broadcast_to(x, (*x.shape[:-1], shape[-1]))
     return jnp.broadcast_to(x, shape)
-
-
-def _tril_mask(K: int):
-    """Strict lower-triangular (K, K, 1) mask built from 2D iota (Pallas-safe:
-    no captured array constants)."""
-    row = jax.lax.broadcasted_iota(jnp.int32, (K, K, 1), 0)
-    col = jax.lax.broadcasted_iota(jnp.int32, (K, K, 1), 1)
-    return col < row
 
 
 class KField:
@@ -131,27 +117,30 @@ class KField:
     # -- carries -----------------------------------------------------------
     def normalize(self, cols):
         """Exact carry resolution along axis -2 (columns < 2^31 -> canonical
-        16-bit limbs; final carry out of the top column dropped)."""
+        16-bit limbs; final carry out of the top column dropped).
+
+        Kogge-Stone parallel prefix over the (generate, propagate) carry
+        monoid: after two value-preserving folds every column is <= 2^16, so
+        g in {0,1} and carries resolve in ceil(log2 K) combine steps on
+        (K, B)-shaped data — O(K log K) work instead of the O(K^2) of a
+        pairwise lookahead matrix."""
         cols = _carry_once(_carry_once(cols))
         K = cols.shape[-2]
-        g = cols >> 16  # in {0, 1}
-        p = (cols & MASK16) == MASK16
-        # inclusive prefix sum along the limb axis, log-step (Mosaic has no
-        # cumsum primitive)
-        s = jnp.where(p, 0, 1).astype(jnp.int32)
+        G = (cols >> 16).astype(jnp.uint32)  # in {0, 1}: generates a carry
+        Pp = ((cols & MASK16) == MASK16).astype(jnp.uint32)  # propagates
+
+        def _up(x, k):
+            return jnp.concatenate(
+                [jnp.zeros_like(x[..., :k, :]), x[..., :-k, :]], axis=-2
+            )
+
         shift = 1
         while shift < K:
-            shifted = jnp.concatenate(
-                [jnp.zeros_like(s[..., :shift, :]), s[..., :-shift, :]], axis=-2
-            )
-            s = s + shifted
+            # extend each position's aggregate window downward by `shift`
+            G = G | (Pp & _up(G, shift))
+            Pp = Pp & _up(Pp, shift)
             shift *= 2
-        s_km1 = jnp.concatenate(
-            [jnp.zeros_like(s[..., :1, :]), s[..., :-1, :]], axis=-2
-        )
-        eqmat = s_km1[..., :, None, :] == s[..., None, :, :]  # (..., K, K, B)
-        hit = g[..., None, :, :].astype(bool) & eqmat & _tril_mask(K)
-        carry_in = jnp.any(hit, axis=-2).astype(jnp.uint32)
+        carry_in = _up(G, 1)  # carry into k = carry out of the prefix [0, k-1]
         return (cols + carry_in) & MASK16
 
     def _cond_sub_n(self, s):
@@ -186,7 +175,20 @@ class KField:
     def mont_mul(self, a, b):
         """CIOS Montgomery product, Python-unrolled over the L limb steps
         (inside a Pallas kernel each step is straight-line Mosaic vector code;
-        there is no XLA per-op dispatch to amortize)."""
+        there is no XLA per-op dispatch to amortize).
+
+        Two-accumulator form: tl holds column-aligned low halves; the high
+        halves of each step's two products (a_i*b and q = m*N) contribute at
+        column +1 and are folded in during the per-step shift-down, saving the
+        padded concat-adds of the classic single-accumulator loop (~16 vector
+        ops/step on (L, B) data vs ~22 on (L+2, B)).
+
+        Column bound: tl gains < 2^17 per step plus sub-1 carry residue, so
+        columns stay < L*2^17 + L < 2^23 for L <= 32 — far from uint32
+        overflow. tl[0] is exact mod 2^16 at every step (all column-0
+        contributions land in-place; wrap-around of tl[0]*n0p is harmless mod
+        2^16), so m is exact and the classic CIOS bound applies: result
+        < N(1 + 2^-17) with our oversized R, one conditional subtraction."""
         L = self.L
         # the per-limb-sliced operand must be natively lane-wide: slicing a
         # lane-broadcast value makes Mosaic emit an unsupported two-axis
@@ -198,25 +200,38 @@ class KField:
         n_col = staged_broadcast(self._row("n"), (L, lanes))
         a = staged_broadcast(a, (*batch, L, lanes))
         b = staged_broadcast(b, (*batch, L, lanes))
-        t = jnp.zeros((*batch, L + 2, lanes), dtype=jnp.uint32)
+        tl0 = jnp.zeros((*batch, L, lanes), dtype=jnp.uint32)
         z1 = jnp.zeros((*batch, 1, lanes), dtype=jnp.uint32)
-        z2 = jnp.zeros((*batch, 2, lanes), dtype=jnp.uint32)
         zL1 = jnp.zeros((*batch, L - 1, lanes), dtype=jnp.uint32)
 
-        for i in range(L):
-            ai = a[..., i : i + 1, :]
+        # fori_loop (not Python unroll): the body is traced/compiled ONCE —
+        # XLA-CPU compile of unrolled limb loops scales pathologically with
+        # mul count, and Mosaic handles the loop fine. The per-step operand
+        # limb a_i is peeled by rotating a copy of `a` one limb per step and
+        # reading row 0 (static slices only — no dynamic sublane indexing).
+        def body(_i, carry):
+            tl, arot = carry
+            ai = arot[..., 0:1, :]
+            arot = jnp.concatenate([arot[..., 1:, :], arot[..., 0:1, :]], axis=-2)
             p = ai * b  # exact: both operands < 2^16
-            t = t + jnp.concatenate([p & MASK16, z2], axis=-2)
-            t = t + jnp.concatenate([z1, p >> 16, z1], axis=-2)
-            m = (t[..., 0:1, :] * self.n0p) & MASK16
+            tl = tl + (p & MASK16)
+            m = (tl[..., 0:1, :] * self.n0p) & MASK16
             q = m * n_col
-            t = t + jnp.concatenate([q & MASK16, z2], axis=-2)
-            t = t + jnp.concatenate([z1, q >> 16, z1], axis=-2)
-            # fold column 0's carry into column 1, then shift down one limb
-            carry0 = t[..., 0:1, :] >> 16
-            t = t + jnp.concatenate([z1, carry0, z1, zL1], axis=-2)
-            t = _shift_down(t)
-        out = self.normalize(t)[..., : L + 1, :]
+            tl = tl + (q & MASK16)
+            # column 0 is now 0 mod 2^16; divide by 2^16: drop column 0,
+            # fold its carry and both products' high halves (column +1 pre-
+            # shift = column 0 post-shift) into the shifted accumulator
+            hsum = (p >> 16) + (q >> 16)
+            carry0 = tl[..., 0:1, :] >> 16
+            tl = (
+                jnp.concatenate([tl[..., 1:, :], z1], axis=-2)
+                + hsum
+                + jnp.concatenate([carry0, zL1], axis=-2)
+            )
+            return (tl, arot)
+
+        tl, _ = jax.lax.fori_loop(0, L, body, (tl0, a))
+        out = self.normalize(jnp.concatenate([tl, z1], axis=-2))
         return self._cond_sub_n(out)
 
     def sqr(self, a):
@@ -259,6 +274,44 @@ class KField:
     def select(self, cond, a, b):
         """cond (..., B) bool -> limbwise select."""
         return jnp.where(cond[..., None, :], a, b)
+
+
+def window_digits(exponent: int, wbits: int = 4) -> np.ndarray:
+    """MSB-first fixed-window digits of a static exponent: (1, NW) int32.
+    Kernel-side companion of pow_win_loop (digits ride in SMEM because Pallas
+    kernels cannot capture array constants)."""
+    bits = bin(exponent)[2:]
+    padlen = -(-len(bits) // wbits) * wbits
+    bits = bits.zfill(padlen)
+    return np.array(
+        [[int(bits[k : k + wbits], 2) for k in range(0, padlen, wbits)]],
+        dtype=np.int32,
+    )
+
+
+def pow_win_loop(F: KField, a, digits_ref):
+    """a^e for a static exponent whose MSB-first 4-bit window digits sit in
+    SMEM (1, NW): builds the 16-entry power table once, then a fori_loop of
+    4 squarings + one branchless one-hot table multiply per window — ~490
+    muls for a 381-bit exponent vs 760 for square-and-always-multiply (the
+    kernel analog of the reference's fixed powMod chains, BlsTypes.hs:185-192)."""
+    nw = digits_ref.shape[-1]
+    tab = [F.one(a.shape[:-2] + a.shape[-1:]), a]
+    for _ in range(14):
+        tab.append(F.mont_mul(tab[-1], a))
+    table = jnp.stack(tab, axis=0)  # (16, ..., L, B)
+    idx = jax.lax.broadcasted_iota(jnp.int32, table.shape, 0)
+
+    def _select(d):
+        return jnp.sum(
+            jnp.where(idx == d, table, 0).astype(jnp.int32), axis=0
+        ).astype(jnp.uint32)
+
+    def body(i, acc):
+        acc = F.sqr(F.sqr(F.sqr(F.sqr(acc))))
+        return F.mont_mul(acc, _select(digits_ref[0, i]))
+
+    return jax.lax.fori_loop(1, nw, body, _select(digits_ref[0, 0]))
 
 
 kfp = KField(FP_SPEC)

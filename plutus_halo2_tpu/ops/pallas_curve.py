@@ -3,15 +3,25 @@
 Replaces ops/curve.msm's XLA graph on the hot path. The XLA version is
 latency-bound: every field mul is a separate fori_loop/while dispatch
 (~50-100us regardless of batch, perf_probe). Here the whole MSM runs inside
-one pallas_call per (batch-tile, point-chunk): the CIOS limb loop is
-straight-line Mosaic vector code, the window table lives in VMEM, and the
-batch rides the 128-wide lane axis.
+one pallas_call per batch tile: the CIOS limb loop is straight-line Mosaic
+vector code, window tables live in VMEM, and the batch rides the 128-wide
+lane axis.
 
-Decomposition: grid (batch_tiles, point_chunks). Each instance computes the
-full 64-window double-and-add for its <=8 points jointly: one shared
-accumulator, per-window one-hot table selects and a halving tree over the
-chunk. Chunk partials are tree-added by a tiny XLA epilogue. Point identity /
-exceptional cases are safe: complete RCB15 formulas, same as ops/curve.py.
+Decomposition (v2): grid (batch_tiles,). Each instance processes ALL K points
+through per-window partial sums —
+
+  for each chunk of <= 8 points:  build the signed-window table (entries
+      0..8, 7 complete adds); for each of the 64 windows: one-hot select by
+      digit magnitude, negate Y where the digit is negative, halving-tree over
+      the chunk, accumulate into the window-sum scratch wsum[w]
+  finally: one shared 256-doubling chain  acc = 16*acc + wsum[w]
+
+versus v1 which paid the full doubling chain once per chunk. Signed 4-bit
+digits (magnitude <= 8) halve both the table build and the one-hot select
+width relative to unsigned nibbles; point negation is a free Y-negate.
+
+Point identity / exceptional cases are safe: complete RCB15 formulas, same as
+ops/curve.py. Zero-padded points (scalar 0) select table entry 0 == identity.
 
 Layout: points (..., 3, L, B), scalars (..., L_fr, B) — see ops/pallas_core.
 """
@@ -30,7 +40,7 @@ from .limb import FP_SPEC, FR_SPEC
 from .pallas_core import KField, kfp
 
 LANES = 128
-CHUNK = 8  # points per kernel instance (VMEM: table 16*CHUNK*3*L*LANES*4B ~ 4.9MB)
+CHUNK = 8  # points per table-build round (VMEM: table 9*CHUNK*3*L*LANES*4B ~ 2.8MB)
 
 
 # ---------------------------------------------------------------------------
@@ -112,84 +122,121 @@ def k_select(F: KField, cond, p, q):
     return tuple(F.select(cond, a, b) for a, b in zip(p, q))
 
 
+def k_tree_reduce(F: KField, b3, t, k: int):
+    """Halving-tree point sum over leading axis of size k (coords (k, L, B))."""
+    while k > 1:
+        half = k // 2
+        added = k_add(
+            F,
+            b3,
+            tuple(c[:half] for c in t),
+            tuple(c[half : 2 * half] for c in t),
+        )
+        if k % 2:
+            added = tuple(
+                jnp.concatenate([a, c[2 * half : k]], axis=0)
+                for a, c in zip(added, t)
+            )
+            half += 1
+        t = added
+        k = half
+    return tuple(c[0] for c in t)
+
+
+# ---------------------------------------------------------------------------
+# signed digit decomposition (XLA level, cheap uint32 work)
+# ---------------------------------------------------------------------------
+
+def signed_digits_msb(scalars):
+    """(..., L_fr) canonical Fr limbs -> (mags, negs) each (64, ...), MSB
+    window first: scalar = sum_w d_w * 16^(63-w) with d_w = (-1)^negs * mags,
+    mags <= 8. Canonical scalars are < 2^255 so the top window absorbs the
+    final carry without overflow (top nibble <= 7, +1 carry <= 8)."""
+    l = scalars.astype(jnp.uint32)
+    parts = jnp.stack(
+        [(l >> 0) & 0xF, (l >> 4) & 0xF, (l >> 8) & 0xF, (l >> 12) & 0xF], axis=-1
+    )
+    nibbles = parts.reshape(*scalars.shape[:-1], -1)[..., :64]  # LSB first
+    nib_s = jnp.moveaxis(nibbles, -1, 0)  # (64, ...)
+
+    def body(carry, d):
+        d = d + carry
+        flip = d > 8
+        mag = jnp.where(flip, 16 - d, d)
+        return flip.astype(jnp.uint32), (mag, flip)
+
+    _, (mags, negs) = jax.lax.scan(body, jnp.zeros_like(nib_s[0]), nib_s)
+    return mags[::-1], negs[::-1]  # MSB window first
+
+
 # ---------------------------------------------------------------------------
 # the MSM kernel
 # ---------------------------------------------------------------------------
 
-def _window_values(scalars, j: int):
-    """4-bit window j (MSB-first over 64 windows) from (..., L_fr, B) canonical
-    Fr limbs: returns (..., B) uint32 in [0, 16). Window j covers bits
-    [4*(63-j), 4*(63-j)+4) = limb (63-j)//4, shift 4*((63-j)%4)."""
-    w = 63 - j
-    limb_idx = w // 4
-    shift = np.uint32(4 * (w % 4))
-    return (scalars[..., limb_idx, :] >> shift) & np.uint32(0xF)
-
-
 def make_msm_kernel(K: int, lanes: int = LANES, chunk: int = CHUNK,
                     interpret: bool = False):
     """Build a jittable msm(points (B, K, 3, L), scalars (B, K, L_fr)) ->
-    (B, 3, L) using a Pallas kernel gridded over (batch//lanes, ceil(K/chunk)).
-    K is static; the point axis is zero-padded to a chunk multiple (scalar 0
-    contributes the identity through the complete formulas... scalar 0 selects
-    table entry 0 which is the identity point, so padding is exact)."""
+    (B, 3, L) using a Pallas kernel gridded over (batch//lanes,). K is static;
+    the point axis is zero-padded to a chunk multiple (scalar 0 selects table
+    entry 0 which is the identity point, so padding is exact)."""
     L, Lr = FP_SPEC.L, FR_SPEC.L
     n_chunks = -(-K // chunk)
     Kp = n_chunks * chunk
     b3_col = FP_SPEC.to_mont(12).reshape(-1, 1)  # 3*b, b=4
 
-    def kernel(consts_ref, b3_ref, points_ref, windows_ref, out_ref, table_ref):
+    def kernel(consts_ref, b3_ref, points_ref, mags_ref, negs_ref, out_ref,
+               wsum_ref, table_ref):
         F = kfp.bind(consts_ref[:, :])
         b3 = b3_ref[:, :]
-        pts = points_ref[:, :, :, :]  # (chunk, 3, L, B)
-        p0 = (pts[:, 0], pts[:, 1], pts[:, 2])
 
-        # table_ref[w] = w * P per point: (chunk, 16, 3, L, B) VMEM scratch
-        ident = k_identity(F, (chunk, lanes))
-        table_ref[:, 0] = jnp.stack(ident, axis=1)
-        table_ref[:, 1] = pts
+        # window sums start at the identity
+        ident_w = k_identity(F, (64, lanes))
+        wsum_ref[:, :, :, :] = jnp.stack(ident_w, axis=1)
 
-        def build(i, cur):
-            nxt = k_add(F, b3, cur, p0)
-            table_ref[:, pl.ds(i + 2, 1)] = jnp.stack(nxt, axis=1)[:, None]
-            return nxt
+        widx = jax.lax.broadcasted_iota(jnp.uint32, (chunk, 9, 1, 1, lanes), 1)
 
-        jax.lax.fori_loop(0, 14, build, p0)
+        for c in range(n_chunks):
+            pts = points_ref[c * chunk : (c + 1) * chunk]  # (chunk, 3, L, B)
+            p0 = (pts[:, 0], pts[:, 1], pts[:, 2])
+            # table_ref[:, w] = w * P per point: entries 0..8
+            ident = k_identity(F, (chunk, lanes))
+            table_ref[:, 0] = jnp.stack(ident, axis=1)
+            table_ref[:, 1] = pts
 
-        widx = jax.lax.broadcasted_iota(jnp.uint32, (chunk, 16, 1, 1, lanes), 1)
+            def build(i, cur):
+                nxt = k_add(F, b3, cur, p0)
+                table_ref[:, pl.ds(i + 2, 1)] = jnp.stack(nxt, axis=1)[:, None]
+                return nxt
 
-        def window_step(j, acc):
+            jax.lax.fori_loop(0, 7, build, p0)
+
+            def window_step(j, _):
+                mag = mags_ref[pl.ds(j, 1), c * chunk : (c + 1) * chunk, :][0]
+                neg = negs_ref[pl.ds(j, 1), c * chunk : (c + 1) * chunk, :][0]
+                onehot = mag[:, None, None, None, :] == widx  # (chunk,9,1,1,B)
+                table = table_ref[:, :, :, :, :]
+                # Mosaic: no unsigned reductions — limbs < 2^16 are int32-safe
+                sel = jnp.sum(
+                    jnp.where(onehot, table, 0).astype(jnp.int32), axis=1
+                ).astype(jnp.uint32)  # (chunk, 3, L, B)
+                y = sel[:, 1]
+                y = jnp.where(neg[:, None, :].astype(bool), F.neg(y), y)
+                t = k_tree_reduce(F, b3, (sel[:, 0], y, sel[:, 2]), chunk)
+                prev = wsum_ref[pl.ds(j, 1)][0]  # (3, L, B)
+                new = k_add(F, b3, (prev[0], prev[1], prev[2]), t)
+                wsum_ref[pl.ds(j, 1)] = jnp.stack(new, axis=0)[None]
+                return 0
+
+            jax.lax.fori_loop(0, 64, window_step, 0)
+
+        # one shared doubling chain over the window sums
+        def final_step(j, acc):
             acc = k_double(F, b3, k_double(F, b3, k_double(F, b3, k_double(F, b3, acc))))
-            w = windows_ref[pl.ds(j, 1), :, :][0]  # (chunk, B)
-            onehot = w[:, None, None, None, :] == widx  # (chunk, 16, 1, 1, B)
-            table = table_ref[:, :, :, :, :]
-            # Mosaic: no unsigned reductions — limbs < 2^16 are int32-safe
-            sel = jnp.sum(
-                jnp.where(onehot, table, 0).astype(jnp.int32), axis=1
-            ).astype(jnp.uint32)  # (chunk, 3, L, B)
-            # halving tree over the chunk axis
-            t = (sel[:, 0], sel[:, 1], sel[:, 2])
-            kk = chunk
-            while kk > 1:
-                half = kk // 2
-                added = k_add(
-                    F,
-                    b3,
-                    tuple(c[:half] for c in t),
-                    tuple(c[half : 2 * half] for c in t),
-                )
-                if kk % 2:
-                    added = tuple(
-                        jnp.concatenate([a, c[2 * half : kk]], axis=0)
-                        for a, c in zip(added, t)
-                    )
-                    half += 1
-                t = added
-                kk = half
-            return k_add(F, b3, acc, tuple(c[0] for c in t))
+            w = wsum_ref[pl.ds(j, 1)][0]
+            return k_add(F, b3, acc, (w[0], w[1], w[2]))
 
-        acc = jax.lax.fori_loop(0, 64, window_step, k_identity(F, (lanes,)))
-        out_ref[0, :, :, :] = jnp.stack(acc, axis=0)
+        acc = jax.lax.fori_loop(0, 64, final_step, k_identity(F, (lanes,)))
+        out_ref[:, :, :] = jnp.stack(acc, axis=0)
 
     def msm(points, scalars):
         B = points.shape[0]
@@ -201,41 +248,42 @@ def make_msm_kernel(K: int, lanes: int = LANES, chunk: int = CHUNK,
             pad_sc = jnp.zeros((B, Kp - K, Lr), dtype=jnp.uint32)
             points = jnp.concatenate([points, pad_pts], axis=1)
             scalars = jnp.concatenate([scalars, pad_sc], axis=1)
-        # kernel layout: points (Kp, 3, L, B); windows (64, Kp, B)
+        # kernel layout: points (Kp, 3, L, B); digit planes (64, Kp, B)
         pts_k = jnp.moveaxis(points, 0, -1)
-        from .curve import _nibbles_msb_first
+        mags, negs = signed_digits_msb(scalars)
+        mags = jnp.moveaxis(mags, 1, -1)
+        negs = jnp.moveaxis(negs, 1, -1).astype(jnp.uint32)
 
-        windows = jnp.moveaxis(_nibbles_msb_first(scalars), 1, -1)
-
-        partials = pl.pallas_call(
+        out = pl.pallas_call(
             kernel,
-            grid=(nbt, n_chunks),
+            grid=(nbt,),
             in_specs=[
-                pl.BlockSpec((4, L + 1), lambda b, c: (0, 0), memory_space=pltpu.VMEM),
-                pl.BlockSpec((L, 1), lambda b, c: (0, 0), memory_space=pltpu.VMEM),
+                pl.BlockSpec((4, L + 1), lambda b: (0, 0), memory_space=pltpu.VMEM),
+                pl.BlockSpec((L, 1), lambda b: (0, 0), memory_space=pltpu.VMEM),
                 pl.BlockSpec(
-                    (chunk, 3, L, lanes),
-                    lambda b, c: (c, 0, 0, b),
-                    memory_space=pltpu.VMEM,
+                    (Kp, 3, L, lanes), lambda b: (0, 0, 0, b), memory_space=pltpu.VMEM
                 ),
                 pl.BlockSpec(
-                    (64, chunk, lanes),
-                    lambda b, c: (0, c, b),
-                    memory_space=pltpu.VMEM,
+                    (64, Kp, lanes), lambda b: (0, 0, b), memory_space=pltpu.VMEM
+                ),
+                pl.BlockSpec(
+                    (64, Kp, lanes), lambda b: (0, 0, b), memory_space=pltpu.VMEM
                 ),
             ],
             out_specs=pl.BlockSpec(
-                (1, 3, L, lanes), lambda b, c: (c, 0, 0, b), memory_space=pltpu.VMEM
+                (3, L, lanes), lambda b: (0, 0, b), memory_space=pltpu.VMEM
             ),
-            out_shape=jax.ShapeDtypeStruct((n_chunks, 3, L, B), jnp.uint32),
-            scratch_shapes=[pltpu.VMEM((chunk, 16, 3, L, lanes), jnp.uint32)],
+            out_shape=jax.ShapeDtypeStruct((3, L, B), jnp.uint32),
+            scratch_shapes=[
+                pltpu.VMEM((64, 3, L, lanes), jnp.uint32),  # window sums
+                pltpu.VMEM((chunk, 9, 3, L, lanes), jnp.uint32),  # chunk table
+            ],
+            compiler_params=pltpu.CompilerParams(
+                vmem_limit_bytes=100 * 1024 * 1024
+            ),
             interpret=interpret,
-        )(kfp.const_args(), b3_col, pts_k, windows)
+        )(kfp.const_args(), b3_col, pts_k, mags, negs)
 
-        # XLA epilogue: tree-add the chunk partials, back in (B, ..., L) layout
-        from . import curve as jc
-
-        parts = jnp.moveaxis(partials, -1, 0)  # (B, n_chunks, 3, L)
-        return jc.tree_sum(parts)
+        return jnp.moveaxis(out, -1, 0)  # (B, 3, L)
 
     return msm

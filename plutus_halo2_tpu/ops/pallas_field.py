@@ -3,9 +3,11 @@
 Used for the hot fixed-exponent chains of the verifier — sqrt in G1
 decompression ((p+1)/4), Fermat inversions (p-2 / q-2) — which in the XLA
 graph are lax.scan ladders paying per-iteration dispatch (~50-100us/mul,
-perf_probe). Here one pallas_call runs the whole ladder from an SMEM bit
-schedule. Layout: (B, W, L) canonical inputs -> same out; W is a static
-width axis (e.g. proof points) folded into sublanes."""
+perf_probe). Here one pallas_call runs the whole ladder as a 4-bit fixed-
+window walk (pallas_core.pow_win_loop) from an SMEM digit schedule: ~490
+muls for a 381-bit exponent vs 760 for bit-at-a-time square-and-multiply.
+Layout: (B, W, L) canonical inputs -> same out; W is a static width axis
+(e.g. proof points) folded into sublanes."""
 
 from __future__ import annotations
 
@@ -16,7 +18,7 @@ from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
 from .limb import FieldSpec
-from .pallas_core import KField
+from .pallas_core import KField, pow_win_loop, window_digits
 
 LANES = 128
 
@@ -26,19 +28,11 @@ def make_pow_kernel(spec: FieldSpec, exponent: int, width: int,
     """Build pow(x (B, width, L) Montgomery) -> x^exponent (B, width, L)."""
     kf = KField(spec)
     L = spec.L
-    bits = np.array([[int(c) for c in bin(exponent)[3:]]], dtype=np.int32)
-    nb = bits.shape[1]
+    digits = window_digits(exponent)
 
-    def kernel(consts_ref, bits_ref, x_ref, out_ref):
+    def kernel(consts_ref, dig_ref, x_ref, out_ref):
         F = kf.bind(consts_ref[:, :])
-        x = x_ref[:, :, :]  # (width, L, B)
-
-        def body(i, acc):
-            acc = F.sqr(acc)
-            with_x = F.mont_mul(acc, x)
-            return jnp.where(bits_ref[0, i] != 0, with_x, acc)
-
-        out_ref[:, :, :] = jax.lax.fori_loop(0, nb, body, x)
+        out_ref[:, :, :] = pow_win_loop(F, x_ref[:, :, :], dig_ref)
 
     def pow_(x):
         B = x.shape[0]
@@ -56,7 +50,7 @@ def make_pow_kernel(spec: FieldSpec, exponent: int, width: int,
             out_specs=pl.BlockSpec((width, L, lanes), lambda b: (0, 0, b), memory_space=pltpu.VMEM),
             out_shape=jax.ShapeDtypeStruct((width, L, B), jnp.uint32),
             interpret=interpret,
-        )(kf.const_args(), bits, xk)
+        )(kf.const_args(), digits, xk)
         return jnp.moveaxis(out, -1, 0)
 
     return pow_

@@ -1,18 +1,36 @@
 """Pallas TPU kernel for the batched BLS12-381 pairing check.
 
 One pallas_call runs the whole check e(P1,Q1)*e(P2,Q2) == 1 for a batch of
-128 proofs per grid step: projective->affine conversion (Fermat inversion),
-the Miller loop over host-prepared G2 line ladders (ops/pairing.prepare_g2),
-and the final exponentiation — all as fori_loop Mosaic code with no per-op
-XLA dispatch. Replaces ops/pairing.pairing_check on the hot path.
+128 proofs per grid step: projective->affine conversion (windowed Fermat
+inversion), the Miller loop over host-prepared G2 line ladders
+(ops/pairing.prepare_g2), and the final exponentiation — all as Mosaic vector
+code with no per-op XLA dispatch. Replaces ops/pairing.pairing_check on the
+hot path.
 
 Math and constants are identical to ops/pairing.py + ops/tower.py (same
 Montgomery FieldSpec, same verified hard-part chain 3h = (x-1)^2 (x+p)
 (x^2+p^2-1) + 3), so results are bit-exact vs those tested modules.
 
+Multiplication counts are the design driver (the VPU is data-bound on limb
+vectors, so fewer Fp muls == proportionally faster):
+  - Fp6 products use 3-way Karatsuba (6 Fp2 muls, not 9);
+  - Fp12 products are quadratic-Karatsuba over Fp6 (18 Fp2 muls, not 36);
+  - Fp12 squarings use the complex method (12 Fp2 muls);
+  - squarings inside exp-by-x use Granger-Scott cyclotomic squaring
+    (9 Fp2 squarings = 18 Fp muls — valid after the easy part);
+  - line multiplications exploit the sparse (w^0, w^2, w^3) shape
+    (13 Fp2 muls);
+  - the Miller/exp bit schedules of BLS_X are unrolled on the host into
+    runs-of-doublings + 5 addition steps, so no multiplication is computed
+    just to be masked out (the old fori_loop paid a full Fp12 mul on all 63
+    steps for 5 ones);
+  - Fermat ladders (p-2 inversions) run 4-bit fixed windows from an SMEM
+    digit schedule (~490 muls vs 760 for square-and-always-multiply).
+
 Layout (see ops/pallas_core): Fp = (..., L, B), Fp2 = (..., 2, L, B),
 Fp12 = (6, 2, L, B) with w^0..w^5 coefficients of the sextic-over-quadratic
-tower, xi = u + 1.
+tower, xi = u + 1. The Fp6 subfields used internally are (3, 2, L, B) over
+v = w^2 with v^3 = xi.
 """
 
 from __future__ import annotations
@@ -25,12 +43,38 @@ from jax.experimental.pallas import tpu as pltpu
 
 from ..refimpl.field import BLS_X, P
 from .limb import FP_SPEC
-from .pallas_core import kfp, staged_broadcast, _carry_once
+from .pallas_core import kfp, pow_win_loop, staged_broadcast, window_digits
 from . import tower as xtower
 
 LANES = 128
 _BITS = bin(BLS_X)[3:]  # 63 Miller steps, MSB skipped
 L = FP_SPEC.L
+
+
+def _segments(bits: str):
+    """Static bit schedule -> [(start, n_zero_run, has_one_step)] covering
+    [0, len(bits)) where each segment is a run of '0' steps optionally
+    followed by one '1' step."""
+    segs = []
+    i = 0
+    n = len(bits)
+    while i < n:
+        j = i
+        while j < n and bits[j] == "0":
+            j += 1
+        if j < n:  # bits[j] == '1'
+            segs.append((i, j - i, True))
+            i = j + 1
+        else:
+            segs.append((i, j - i, False))
+            i = j
+    return segs
+
+
+_MILLER_SEGS = _segments(_BITS)
+
+
+_PM2_DIGITS = window_digits(P - 2)  # Fermat inversion schedule for Fp
 
 
 # ---------------------------------------------------------------------------
@@ -69,6 +113,14 @@ def k2_mul(F, a, b):
     return jnp.stack([F.sub(m0, m1), F.sub(m2, F.add(m0, m1))], axis=-3)
 
 
+def k2_sqr(F, a):
+    """Complex squaring: 2 Fp muls."""
+    a0, a1 = a[..., 0, :, :], a[..., 1, :, :]
+    t0 = F.mont_mul(F.add(a0, a1), F.sub(a0, a1))
+    t1 = F.mont_mul(a0, a1)
+    return jnp.stack([t0, F.add(t1, t1)], axis=-3)
+
+
 def k2_mul_fp(F, a, s):
     return jnp.stack(
         [F.mont_mul(a[..., 0, :, :], s), F.mont_mul(a[..., 1, :, :], s)], axis=-3
@@ -86,17 +138,19 @@ def k2_xi(F, a):
     )
 
 
-def fp_inv_ladder(F, a, pm2bits_ref):
-    """Fermat inversion a^(p-2) as a 380-step fori ladder; exponent bits come
-    from SMEM (shape (1, NB) int32, MSB first, leading 1 dropped)."""
-    nb = pm2bits_ref.shape[-1]
+def k2_double(F, a):
+    return jnp.stack(
+        [
+            F.add(a[..., 0, :, :], a[..., 0, :, :]),
+            F.add(a[..., 1, :, :], a[..., 1, :, :]),
+        ],
+        axis=-3,
+    )
 
-    def body(i, acc):
-        acc = F.sqr(acc)
-        with_a = F.mont_mul(acc, a)
-        return jnp.where(pm2bits_ref[0, i] != 0, with_a, acc)
 
-    return jax.lax.fori_loop(0, nb, body, a)
+def fp_inv_win(F, a, pm2dig_ref):
+    """Fermat inversion a^(p-2) via the windowed ladder."""
+    return pow_win_loop(F, a, pm2dig_ref)
 
 
 def k2_inv(F, a, fpinv):
@@ -109,13 +163,75 @@ def k2_inv(F, a, fpinv):
 
 
 # ---------------------------------------------------------------------------
-# Fp12 on (6, 2, L, B)
+# Fp6 on (3, 2, L, B) over v, v^3 = xi
 # ---------------------------------------------------------------------------
 
-_IDX_I = np.repeat(np.arange(6), 6)
-_IDX_J = np.tile(np.arange(6), 6)
-_OUT = (_IDX_I + _IDX_J) % 6
-_WRAP = (_IDX_I + _IDX_J) >= 6
+def k6_mul(F, a, b):
+    """3-way Karatsuba: 6 Fp2 muls, batched as one k2_mul on a (…,6,…) stack.
+      c0 = v0 + xi((a1+a2)(b1+b2) - v1 - v2)
+      c1 = (a0+a1)(b0+b1) - v0 - v1 + xi v2
+      c2 = (a0+a2)(b0+b2) - v0 - v2 + v1
+    """
+    a0, a1, a2 = a[..., 0, :, :, :], a[..., 1, :, :, :], a[..., 2, :, :, :]
+    b0, b1, b2 = b[..., 0, :, :, :], b[..., 1, :, :, :], b[..., 2, :, :, :]
+    lhs = jnp.stack([a0, a1, a2, k2_add(F, a0, a1), k2_add(F, a0, a2), k2_add(F, a1, a2)], axis=-4)
+    rhs = jnp.stack([b0, b1, b2, k2_add(F, b0, b1), k2_add(F, b0, b2), k2_add(F, b1, b2)], axis=-4)
+    pr = k2_mul(F, lhs, rhs)
+    v0, v1, v2 = pr[..., 0, :, :, :], pr[..., 1, :, :, :], pr[..., 2, :, :, :]
+    m01, m02, m12 = pr[..., 3, :, :, :], pr[..., 4, :, :, :], pr[..., 5, :, :, :]
+    c0 = k2_add(F, v0, k2_xi(F, k2_sub(F, m12, k2_add(F, v1, v2))))
+    c1 = k2_add(F, k2_sub(F, m01, k2_add(F, v0, v1)), k2_xi(F, v2))
+    c2 = k2_add(F, k2_sub(F, m02, k2_add(F, v0, v2)), v1)
+    return jnp.stack([c0, c1, c2], axis=-4)
+
+
+def k6_mul_by_v(F, a):
+    return jnp.concatenate([k2_xi(F, a[..., 2:3, :, :, :]), a[..., 0:1, :, :, :], a[..., 1:2, :, :, :]], axis=-4)
+
+
+def k6_add(F, a, b):
+    return k2_add(F, a, b)
+
+
+def k6_sub(F, a, b):
+    return k2_sub(F, a, b)
+
+
+def k6_inv(F, a, fpinv):
+    a0, a1, a2 = a[..., 0, :, :, :], a[..., 1, :, :, :], a[..., 2, :, :, :]
+    lhs = jnp.stack([a0, a1, a2, a0, a1, a0], axis=-4)
+    rhs = jnp.stack([a0, a2, a2, a1, a1, a2], axis=-4)
+    pr = k2_mul(F, lhs, rhs)
+    c0 = k2_sub(F, pr[..., 0, :, :, :], k2_xi(F, pr[..., 1, :, :, :]))
+    c1 = k2_sub(F, k2_xi(F, pr[..., 2, :, :, :]), pr[..., 3, :, :, :])
+    c2 = k2_sub(F, pr[..., 4, :, :, :], pr[..., 5, :, :, :])
+    pr2 = k2_mul(
+        F, jnp.stack([a0, a2, a1], axis=-4), jnp.stack([c0, c1, c2], axis=-4)
+    )
+    t = k2_add(
+        F,
+        pr2[..., 0, :, :, :],
+        k2_xi(F, k2_add(F, pr2[..., 1, :, :, :], pr2[..., 2, :, :, :])),
+    )
+    tinv = k2_inv(F, t, fpinv)
+    return k2_mul(F, jnp.stack([c0, c1, c2], axis=-4), tinv[..., None, :, :, :])
+
+
+# ---------------------------------------------------------------------------
+# Fp12 on (6, 2, L, B): flat w-power coefficients; internally split into the
+# even (Fp6 over v = w^2) and odd halves: a = A0 + w*A1.
+# ---------------------------------------------------------------------------
+
+def _split(a):
+    """(…, 6, 2, L, B) -> even A0 = (a0,a2,a4), odd A1 = (a1,a3,a5).
+    Via reshape+index (Mosaic rejects strided slices on folded axes)."""
+    pairs = a.reshape(*a.shape[:-4], 3, 2, *a.shape[-3:])
+    return pairs[..., 0, :, :, :], pairs[..., 1, :, :, :]
+
+
+def _join(F, c_even, c_odd):
+    inter = jnp.stack([c_even, c_odd], axis=-4)  # (3, 2, 2, L, B)
+    return inter.reshape(*inter.shape[:-5], 6, *inter.shape[-3:])
 
 
 def k12_zero(F, lanes):
@@ -130,58 +246,149 @@ def k12_one(F, lanes):
     return jnp.concatenate([c0[None], rest], axis=0)
 
 
-def _reduce_lazy(F, x):
-    """One Montgomery pass with b = R mod N after two carry folds."""
-    x = _carry_once(_carry_once(x))
-    return F.mont_mul(x, F._row("one_mont"))
-
-
-def _route(F, prods, xi_p, out_slots, wraps, n_slots=6):
-    """prods, xi_p: (T, 2, L, B) canonical fp2 values; lazily sum into slots
-    (raw limb adds, <= 6 terms each) and reduce once."""
-    slots = []
-    for s in range(n_slots):
-        terms = [
-            (xi_p if wraps[t] else prods)[t]
-            for t in range(len(out_slots))
-            if out_slots[t] == s
-        ]
-        acc = terms[0]
-        for x in terms[1:]:
-            acc = acc + x  # raw limb sums, < 6 * 2^16 per column
-        slots.append(acc)
-    return _reduce_lazy(F, jnp.stack(slots, axis=0))
-
-
 def k12_mul(F, a, b):
-    # index-free coefficient pairing (gathers would capture index constants,
-    # which pallas kernels reject): repeat <-> tile
-    ai = jnp.repeat(a, 6, axis=0)  # (36, 2, L, B): a[i] at slot 6i+j
-    bj = jnp.concatenate([b] * 6, axis=0)  # b[j] at slot 6i+j
-    prods = k2_mul(F, ai, bj)
-    xi_p = k2_xi(F, prods)
-    return _route(F, prods, xi_p, _OUT, _WRAP)
+    """Quadratic Karatsuba over Fp6: 3 Fp6 muls = 18 Fp2 muls, batched as one
+    k2_mul on an (…,18,…) stack: c = (A0B0 + v A1B1) + w((A0+A1)(B0+B1) - A0B0 - A1B1)."""
+    A0, A1 = _split(a)
+    B0, B1 = _split(b)
+    lhs6 = jnp.concatenate([A0, A1, k6_add(F, A0, A1)], axis=-4)  # (9, 2, L, B)
+    rhs6 = jnp.concatenate([B0, B1, k6_add(F, B0, B1)], axis=-4)
+    # one k6-style Karatsuba over a stacked leading axis of 3 products:
+    pr = _k6_mul_stacked(F, lhs6.reshape(*lhs6.shape[:-4], 3, 3, *lhs6.shape[-3:]),
+                         rhs6.reshape(*rhs6.shape[:-4], 3, 3, *rhs6.shape[-3:]))
+    t0, t1, t2 = pr[..., 0, :, :, :, :], pr[..., 1, :, :, :, :], pr[..., 2, :, :, :, :]
+    c_even = k6_add(F, t0, k6_mul_by_v(F, t1))
+    c_odd = k6_sub(F, t2, k6_add(F, t0, t1))
+    return _join(F, c_even, c_odd)
+
+
+def _k6_mul_stacked(F, a, b):
+    """k6_mul with an extra leading product axis: a, b (…, T, 3, 2, L, B) ->
+    (…, T, 3, 2, L, B); all T products share one batched k2_mul."""
+    a0, a1, a2 = a[..., 0, :, :, :], a[..., 1, :, :, :], a[..., 2, :, :, :]
+    b0, b1, b2 = b[..., 0, :, :, :], b[..., 1, :, :, :], b[..., 2, :, :, :]
+    lhs = jnp.stack([a0, a1, a2, k2_add(F, a0, a1), k2_add(F, a0, a2), k2_add(F, a1, a2)], axis=-4)
+    rhs = jnp.stack([b0, b1, b2, k2_add(F, b0, b1), k2_add(F, b0, b2), k2_add(F, b1, b2)], axis=-4)
+    pr = k2_mul(F, lhs, rhs)  # (…, T, 6, 2, L, B)
+    v0, v1, v2 = pr[..., 0, :, :, :], pr[..., 1, :, :, :], pr[..., 2, :, :, :]
+    m01, m02, m12 = pr[..., 3, :, :, :], pr[..., 4, :, :, :], pr[..., 5, :, :, :]
+    c0 = k2_add(F, v0, k2_xi(F, k2_sub(F, m12, k2_add(F, v1, v2))))
+    c1 = k2_add(F, k2_sub(F, m01, k2_add(F, v0, v1)), k2_xi(F, v2))
+    c2 = k2_add(F, k2_sub(F, m02, k2_add(F, v0, v2)), v1)
+    return jnp.stack([c0, c1, c2], axis=-4)
 
 
 def k12_sqr(F, a):
-    return k12_mul(F, a, a)
+    """Complex squaring over Fp6: 2 Fp6 muls = 12 Fp2 muls.
+    c_even = (A0+A1)(A0+vA1) - t - vt, c_odd = 2t with t = A0*A1."""
+    A0, A1 = _split(a)
+    lhs = jnp.stack([A0, k6_add(F, A0, A1)], axis=-5)
+    rhs = jnp.stack([A1, k6_add(F, A0, k6_mul_by_v(F, A1))], axis=-5)
+    pr = _k6_mul_stacked(F, lhs, rhs)
+    t = pr[..., 0, :, :, :, :]
+    s = pr[..., 1, :, :, :, :]
+    c_even = k6_sub(F, s, k6_add(F, t, k6_mul_by_v(F, t)))
+    c_odd = k2_double(F, t)
+    return _join(F, c_even, c_odd)
 
 
-_SP_FI = np.repeat(np.arange(6), 3)
-_SP_CK = np.tile(np.array([0, 2, 3]), 6)
-_SP_OUT = (_SP_FI + _SP_CK) % 6
-_SP_WRAP = (_SP_FI + _SP_CK) >= 6
-_SP_LSEL = np.arange(18) % 3
+def k12_cyc_sqr(F, a):
+    """Granger-Scott cyclotomic squaring: 9 Fp2 squarings (18 Fp muls).
+    Valid only in the cyclotomic subgroup (after the easy part of the final
+    exponentiation). Flat-coefficient form of the standard formulas:
+      out0 = 3(a0^2 + xi a3^2) - 2a0     out1 = 3 xi (2 a2 a5) + 2a1
+      out2 = 3(a1^2 + xi a4^2) - 2a2     out3 = 3 (2 a0 a3) + 2a3
+      out4 = 3(a2^2 + xi a5^2) - 2a4     out5 = 3 (2 a1 a4) + 2a5
+    with the cross products recovered from (x+y)^2 - x^2 - y^2."""
+    c = [a[..., i, :, :, :] for i in range(6)]
+    sq_in = jnp.stack(
+        [
+            c[3], c[0], k2_add(F, c[3], c[0]),
+            c[4], c[1], k2_add(F, c[4], c[1]),
+            c[5], c[2], k2_add(F, c[5], c[2]),
+        ],
+        axis=-4,
+    )
+    sq = k2_sqr(F, sq_in)
+    s3, s0, s30 = sq[..., 0, :, :, :], sq[..., 1, :, :, :], sq[..., 2, :, :, :]
+    s4, s1, s41 = sq[..., 3, :, :, :], sq[..., 4, :, :, :], sq[..., 5, :, :, :]
+    s5, s2, s52 = sq[..., 6, :, :, :], sq[..., 7, :, :, :], sq[..., 8, :, :, :]
+
+    A = k2_add(F, s0, k2_xi(F, s3))
+    Bv = k2_add(F, s1, k2_xi(F, s4))
+    C = k2_add(F, s2, k2_xi(F, s5))
+    t6 = k2_sub(F, s30, k2_add(F, s3, s0))  # 2 a0 a3
+    t7 = k2_sub(F, s41, k2_add(F, s4, s1))  # 2 a1 a4
+    t8 = k2_xi(F, k2_sub(F, s52, k2_add(F, s5, s2)))  # 2 xi a2 a5
+
+    def three_minus_two(t, x):
+        return k2_add(F, k2_double(F, k2_sub(F, t, x)), t)
+
+    def three_plus_two(t, x):
+        return k2_add(F, k2_double(F, k2_add(F, t, x)), t)
+
+    out0 = three_minus_two(A, c[0])
+    out2 = three_minus_two(Bv, c[2])
+    out4 = three_minus_two(C, c[4])
+    out1 = three_plus_two(t8, c[1])
+    out3 = three_plus_two(t6, c[3])
+    out5 = three_plus_two(t7, c[5])
+    return jnp.stack([out0, out1, out2, out3, out4, out5], axis=-4)
 
 
 def k12_mul_sparse023(F, f, c0, c2, c3):
-    """f * (c0 + c2 w^2 + c3 w^3), the M-twist line shape."""
-    line = jnp.stack([c0, c2, c3], axis=0)  # (3, 2, L, B)
-    f_sel = jnp.repeat(f, 3, axis=0)  # (18, ...): f[i] at slot 3i+k
-    l_sel = jnp.concatenate([line] * 6, axis=0)  # line[k] at slot 3i+k
-    prods = k2_mul(F, f_sel, l_sel)
-    xi_p = k2_xi(F, prods)
-    return _route(F, prods, xi_p, _SP_OUT, _SP_WRAP)
+    """f * (c0 + c2 w^2 + c3 w^3), the M-twist line shape: 13 Fp2 muls via the
+    even/odd split (line even part L0 = (c0, c2, 0), odd L1 = (0, c3, 0)):
+      t0 = F0*L0 (5 muls)  t1 = F1*L1 (3)  t2 = (F0+F1)(L0+L1) (5)
+      result = (t0 + v t1) + w (t2 - t0 - t1)."""
+    F0, F1 = _split(f)
+    f00, f01, f02 = F0[..., 0, :, :, :], F0[..., 1, :, :, :], F0[..., 2, :, :, :]
+    f10, f11, f12 = F1[..., 0, :, :, :], F1[..., 1, :, :, :], F1[..., 2, :, :, :]
+    g0, g1, g2 = (
+        k2_add(F, f00, f10),
+        k2_add(F, f01, f11),
+        k2_add(F, f02, f12),
+    )
+    c23 = k2_add(F, c2, c3)
+    # 13 products in one batched k2_mul:
+    #  F0*L0:  v0=f00*c0  v1=f01*c2  m01=(f00+f01)(c0+c2)  m02=(f00+f02)c0  m12=(f01+f02)c2
+    #  F1*L1:  n0=f10*c3 (-> xi*(f12 c3) handled below)  actually L1=(0,c3,0):
+    #          q0=f12*c3 (v^3 wrap)  q1=f10*c3  q2=f11*c3
+    #  (F0+F1)(L0+L1): same 5-mul shape with (c0, c23)
+    lhs = jnp.stack(
+        [
+            f00, f01, k2_add(F, f00, f01), k2_add(F, f00, f02), k2_add(F, f01, f02),
+            f12, f10, f11,
+            g0, g1, k2_add(F, g0, g1), k2_add(F, g0, g2), k2_add(F, g1, g2),
+        ],
+        axis=-4,
+    )
+    rhs = jnp.stack(
+        [
+            c0, c2, k2_add(F, c0, c2), c0, c2,
+            c3, c3, c3,
+            c0, c23, k2_add(F, c0, c23), c0, c23,
+        ],
+        axis=-4,
+    )
+    pr = k2_mul(F, lhs, rhs)
+    p = [pr[..., i, :, :, :] for i in range(13)]
+
+    def sparse5(v0, v1, m01, m02, m12):
+        # (a0,a1,a2) * (b0,b1,0):
+        # c0 = v0 + xi(m12 - v1); c1 = m01 - v0 - v1; c2 = m02 - v0 + v1
+        o0 = k2_add(F, v0, k2_xi(F, k2_sub(F, m12, v1)))
+        o1 = k2_sub(F, m01, k2_add(F, v0, v1))
+        o2 = k2_add(F, k2_sub(F, m02, v0), v1)
+        return jnp.stack([o0, o1, o2], axis=-4)
+
+    t0 = sparse5(p[0], p[1], p[2], p[3], p[4])
+    # F1 * (0, c3, 0): (a0,a1,a2)*(0,b1,0) = (xi a2 b1, a0 b1, a1 b1)
+    t1 = jnp.stack([k2_xi(F, p[5]), p[6], p[7]], axis=-4)
+    t2 = sparse5(p[8], p[9], p[10], p[11], p[12])
+    c_even = k6_add(F, t0, k6_mul_by_v(F, t1))
+    c_odd = k6_sub(F, t2, k6_add(F, t0, t1))
+    return _join(F, c_even, c_odd)
 
 
 def k12_conj(F, a):
@@ -198,78 +405,42 @@ def k12_frobenius(F, a, gam_k, odd: bool):
     return k2_mul(F, coeffs, gam_k)
 
 
-# Fp6 on (3, 2, L, B) over v, v^3 = xi — for the inverse tower
-_I3 = np.repeat(np.arange(3), 3)
-_J3 = np.tile(np.arange(3), 3)
-_OUT3 = (_I3 + _J3) % 3
-_WRAP3 = (_I3 + _J3) >= 3
-
-
-def k6_mul(F, a, b):
-    prods = k2_mul(
-        F, jnp.repeat(a, 3, axis=0), jnp.concatenate([b] * 3, axis=0)
-    )
-    return _route(F, prods, k2_xi(F, prods), _OUT3, _WRAP3, n_slots=3)
-
-
-def k6_mul_by_v(F, a):
-    return jnp.concatenate([k2_xi(F, a[2:3]), a[0:1], a[1:2]], axis=0)
-
-
-def k6_inv(F, a, fpinv):
-    a0, a1, a2 = a[0], a[1], a[2]
-    lhs = jnp.stack([a0, a1, a2, a0, a1, a0], axis=0)
-    rhs = jnp.stack([a0, a2, a2, a1, a1, a2], axis=0)
-    pr = k2_mul(F, lhs, rhs)
-    c0 = k2_sub(F, pr[0], k2_xi(F, pr[1]))
-    c1 = k2_sub(F, k2_xi(F, pr[2]), pr[3])
-    c2 = k2_sub(F, pr[4], pr[5])
-    pr2 = k2_mul(F, jnp.stack([a0, a2, a1], axis=0), jnp.stack([c0, c1, c2], axis=0))
-    t = k2_add(F, pr2[0], k2_xi(F, k2_add(F, pr2[1], pr2[2])))
-    tinv = k2_inv(F, t, fpinv)
-    return k2_mul(F, jnp.stack([c0, c1, c2], axis=0), tinv[None])
-
-
 def k12_inv(F, a, fpinv):
-    pairs = a.reshape(3, 2, *a.shape[1:])  # (3, even/odd, 2, L, B)
-    A = pairs[:, 0]  # even w-powers (the Fp6 subalgebra over v = w^2)
-    B_ = pairs[:, 1]
-    D = k2_sub(F, k6_mul(F, A, A), k6_mul_by_v(F, k6_mul(F, B_, B_)))
+    A, B_ = _split(a)
+    lhs = jnp.stack([A, B_], axis=-5)
+    pr = _k6_mul_stacked(F, lhs, lhs)  # A^2, B^2
+    D = k6_sub(F, pr[..., 0, :, :, :, :], k6_mul_by_v(F, pr[..., 1, :, :, :, :]))
     Dinv = k6_inv(F, D, fpinv)
-    c_even = k6_mul(F, A, Dinv)
-    c_odd = k2_neg(F, k6_mul(F, B_, Dinv))
-    inter = jnp.stack([c_even, c_odd], axis=1)  # (3, 2, 2, L, B)
-    return inter.reshape(6, *a.shape[1:])
+    pr2 = _k6_mul_stacked(
+        F, jnp.stack([A, B_], axis=-5), jnp.stack([Dinv, Dinv], axis=-5)
+    )
+    c_even = pr2[..., 0, :, :, :, :]
+    c_odd = k2_neg(F, pr2[..., 1, :, :, :, :])
+    return _join(F, c_even, c_odd)
 
 
 # ---------------------------------------------------------------------------
 # the pairing-check kernel
 # ---------------------------------------------------------------------------
 
-def _pack_prep(prep) -> tuple[np.ndarray, np.ndarray]:
-    """ops/pairing.prepare_g2 dict -> (lines (63, 4, 2, L), mask (63,))."""
-    lines = np.stack(
+def _pack_prep(prep) -> np.ndarray:
+    """ops/pairing.prepare_g2 dict -> lines (63, 4, 2, L); the add-step mask
+    is static (_BITS) so no runtime mask is needed."""
+    return np.stack(
         [prep["dbl_lam"], prep["dbl_c"], prep["add_lam"], prep["add_c"]], axis=1
-    )
-    return lines.astype(np.uint32), prep["add_mask"].astype(np.int32)
+    ).astype(np.uint32)
 
 
 def make_pairing_check(prep1, prep2, lanes: int = LANES, interpret: bool = False):
     """Build check(el (B,3,L), er (B,3,L)) -> (B,) bool computing
     e(el, Q1) * e(er, Q2) == 1 with host-prepared Q ladders (projective
     Montgomery inputs; affine conversion happens in-kernel)."""
-    lines1, mask1 = _pack_prep(prep1)
-    lines2, mask2 = _pack_prep(prep2)
-    lines = np.stack([lines1, lines2])  # (2, 63, 4, 2, L)
-    masks = np.stack([mask1, mask2])  # (2, 63)
-    xbits = np.array([[int(c) for c in _BITS]], dtype=np.int32)  # (1, 63)
-    pm2bits = np.array([[int(c) for c in bin(P - 2)[3:]]], dtype=np.int32)
+    lines = np.stack([_pack_prep(prep1), _pack_prep(prep2)])  # (2, 63, 4, 2, L)
     gammas = np.stack([xtower._GAMMAS[k] for k in (1, 2, 3)])  # (3, 6, 2, L)
 
-    def kernel(consts_ref, gam_ref, lines_ref, masks_ref, xbits_ref, pm2_ref,
-               points_ref, out_ref):
+    def kernel(consts_ref, gam_ref, lines_ref, pm2_ref, points_ref, out_ref):
         F = kfp.bind(consts_ref[:, :])
-        fpinv = lambda v: fp_inv_ladder(F, v, pm2_ref)  # noqa: E731
+        fpinv = lambda v: fp_inv_win(F, v, pm2_ref)  # noqa: E731
         gam = gam_ref[:, :, :, :][..., None]  # (3, 6, 2, L, 1)
 
         # --- projective -> affine (one batched Fermat chain for both points)
@@ -282,44 +453,53 @@ def make_pairing_check(prep1, prep2, lanes: int = LANES, interpret: bool = False
 
         one2 = jnp.stack([F.one((lanes,)), F.zeros((lanes,))], axis=0)  # (2, L, B)
         zero2 = jnp.zeros_like(one2)
+        neg_ya = F.neg(ya)  # hoisted: shared by all 63*2 line evaluations
 
         def line_mul(f, j, i, kind):
-            """Multiply f by the `kind` line of pair j at Miller step i."""
+            """Multiply f by the `kind` line of pair j at Miller step i
+            (i static or traced; the add/dbl choice is static)."""
             base = 0 if kind == "dbl" else 2
             lam = lines_ref[j, pl.ds(i, 1), base][0][..., None]  # (2, L, 1)
             cc = lines_ref[j, pl.ds(i, 1), base + 1][0][..., None]
             isinf = inf_mask[j][None, None, :]  # (1, 1, B)
             c2 = k2_mul_fp(F, lam, xa[j])  # (2, L, B)
-            c3 = jnp.stack([F.neg(ya[j]), F.zeros((lanes,))], axis=0)
+            c3 = jnp.stack([neg_ya[j], F.zeros((lanes,))], axis=0)
             c0 = staged_broadcast(cc, c3.shape).astype(jnp.uint32)
-            if kind == "add":
-                # inactive steps use the lam=0, c=1 dummies from prepare_g2,
-                # but c3 (-yp) must be masked off to make the line == 1
-                active = masks_ref[j, i] != 0
-                c3 = jnp.where(active, c3, zero2)
             # identity G1 point contributes the factor 1
             c0 = jnp.where(isinf, one2, c0)
             c2 = jnp.where(isinf, zero2, c2)
             c3 = jnp.where(isinf, zero2, c3)
             return k12_mul_sparse023(F, f, c0, c2, c3)
 
-        def miller_body(i, f):
+        def dbl_step(i, f):
             f = k12_sqr(F, f)
-            for j in range(2):
-                f = line_mul(f, j, i, "dbl")
-                f = line_mul(f, j, i, "add")
-            return f
+            f = line_mul(f, 0, i, "dbl")
+            return line_mul(f, 1, i, "dbl")
 
-        f = jax.lax.fori_loop(0, 63, miller_body, k12_one(F, lanes))
+        # --- Miller loop: static segment schedule (runs of doubling steps in
+        # fori_loops, the 5 addition steps unrolled)
+        f = k12_one(F, lanes)
+        for start, nzeros, has_one in _MILLER_SEGS:
+            if nzeros:
+                f = jax.lax.fori_loop(start, start + nzeros, dbl_step, f)
+            if has_one:
+                i = start + nzeros
+                f = dbl_step(i, f)
+                f = line_mul(f, 0, i, "add")
+                f = line_mul(f, 1, i, "add")
 
         # --- final exponentiation -------------------------------------------
         def exp_by_neg_x(m):
-            def body(i, acc):
-                acc = k12_sqr(F, acc)
-                with_m = k12_mul(F, acc, m)
-                return jnp.where(xbits_ref[0, i] != 0, with_m, acc)
-
-            acc = jax.lax.fori_loop(0, 63, body, m)
+            """m^x (x the negative BLS parameter): cyclotomic squarings over
+            the same static segment schedule, conjugate at the end."""
+            acc = m
+            for _start, nzeros, has_one in _MILLER_SEGS:
+                n_sq = nzeros + (1 if has_one else 0)
+                acc = jax.lax.fori_loop(
+                    0, n_sq, lambda _i, a: k12_cyc_sqr(F, a), acc
+                )
+                if has_one:
+                    acc = k12_mul(F, acc, m)
             return k12_conj(F, acc)  # negative x: cyclotomic inverse
 
         t = k12_mul(F, k12_conj(F, f), k12_inv(F, f, fpinv))
@@ -352,8 +532,6 @@ def make_pairing_check(prep1, prep2, lanes: int = LANES, interpret: bool = False
                 pl.BlockSpec((3, 6, 2, L), lambda b: (0, 0, 0, 0), memory_space=pltpu.VMEM),
                 pl.BlockSpec((2, 63, 4, 2, L), lambda b: (0, 0, 0, 0, 0), memory_space=pltpu.VMEM),
                 pl.BlockSpec(memory_space=pltpu.SMEM),
-                pl.BlockSpec(memory_space=pltpu.SMEM),
-                pl.BlockSpec(memory_space=pltpu.SMEM),
                 pl.BlockSpec((2, 3, L, lanes), lambda b: (0, 0, 0, b), memory_space=pltpu.VMEM),
             ],
             out_specs=pl.BlockSpec((1, lanes), lambda b: (0, b), memory_space=pltpu.VMEM),
@@ -362,7 +540,7 @@ def make_pairing_check(prep1, prep2, lanes: int = LANES, interpret: bool = False
             # at 128 lanes, just over the default 16MB scoped-vmem limit
             compiler_params=pltpu.CompilerParams(vmem_limit_bytes=100 * 1024 * 1024),
             interpret=interpret,
-        )(kfp.const_args(), gammas, lines, masks, xbits, pm2bits, pts)
+        )(kfp.const_args(), gammas, lines, _PM2_DIGITS, pts)
         return ok[0].astype(bool)
 
     return check

@@ -36,3 +36,23 @@ def test_blake2b_multi():
         for b in range(2):
             expect = hashlib.blake2b(raws[s][b].tobytes(), digest_size=32).digest()
             assert out[b, s].tobytes() == expect, f"s={s} b={b}"
+
+
+def test_blake2b_prefixes_vs_hashlib():
+    """Nested-prefix chained hashing (the transcript pattern) vs hashlib."""
+    import hashlib
+
+    import numpy as np
+
+    from plutus_halo2_tpu.ops.blake2b import blake2b_256_prefixes
+
+    rng = np.random.default_rng(7)
+    total = 1000
+    buf = rng.integers(0, 256, size=(3, total), dtype=np.uint8)
+    lengths = [1, 100, 127, 128, 129, 255, 256, 300, 640, 1000]
+    out = np.asarray(blake2b_256_prefixes(buf, lengths))
+    assert out.shape == (3, len(lengths), 32)
+    for b in range(3):
+        for s, l in enumerate(lengths):
+            exp = hashlib.blake2b(bytes(buf[b, :l]), digest_size=32).digest()
+            assert bytes(out[b, s]) == exp, f"prefix {l}"

@@ -110,3 +110,29 @@ def test_k12_inv(rng):
     prod = jax.jit(partial(kp.k12_mul, kfp))(_to_kernel(a), inv)
     one = np.asarray(jax.jit(lambda: kp.k12_one(kfp, B))())
     assert (np.asarray(prod) == one).all()
+
+
+def test_k12_cyclotomic_sqr(rng):
+    """Granger-Scott squaring agrees with the generic squaring on elements of
+    the cyclotomic subgroup (constructed via the easy part f^((p^6-1)(p^2+1))
+    using the independently tested XLA tower)."""
+    f = _rand_fp12(rng)
+    fx = _to_xla(f)
+    t = xt.fp12_mul(xt.fp12_conj(fx), xt.fp12_inv(fx))
+    m = np.asarray(jax.jit(lambda t: xt.fp12_mul(xt.fp12_frobenius(t, 2), t))(t))
+    mk = np.moveaxis(m, 0, -1)  # kernel layout (6, 2, L, B)
+    got = np.asarray(jax.jit(partial(kp.k12_cyc_sqr, kfp))(mk))
+    exp = np.asarray(jax.jit(partial(kp.k12_sqr, kfp))(mk))
+    assert (got == exp).all()
+
+
+def test_pow_win_loop(rng):
+    """Windowed static-exponent ladder vs pow_static, incl. the p-2 schedule."""
+    import jax.numpy as jnp
+
+    for e in (5, 1 << 16, P - 2):
+        digs = jnp.asarray(kp.window_digits(e))
+        x = rng.randrange(1, P)
+        xk = np.broadcast_to(FP_SPEC.to_mont(x)[:, None], (FP_SPEC.L, B)).copy()
+        got = np.asarray(jax.jit(lambda a: kp.pow_win_loop(kfp, a, digs))(xk))
+        assert FP_SPEC.from_mont_int(got[:, 0]) == pow(x, e, P), f"exp {e}"

@@ -43,6 +43,11 @@ def test_simple_mul_accept_reject(flavor):
     ok, _ = verify(plan, proof, [-42, -42, -42])
     assert not ok, "negated inputs must fail"
 
+    # trivial all-1 inputs (the reference's fourth generated negative case,
+    # code_emitters_aiken.rs:627-639) must also reject
+    ok, _ = verify(plan, proof, [1] * len(inputs))
+    assert not ok, "trivial all-1 inputs must fail"
+
 
 @pytest.mark.slow
 def test_simple_mul_wrong_witness_rejected():
