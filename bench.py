@@ -1,14 +1,24 @@
 #!/usr/bin/env python
-"""Benchmark: batched simple_mul Halo2 proof verification throughput on TPU.
+"""Benchmark: batched Halo2 proof verification throughput on TPU.
 
-Prints one JSON line:
-  {"metric": "...", "value": N, "unit": "...", "vs_baseline": N}
+Prints one JSON line per measured metric; the HEADLINE metric (batched
+simple_mul verifications/s/chip, halo2-book flavor) is printed LAST so
+single-line consumers read it. All rows are also written to
+BENCH_DETAILS.json.
+
+Rows (the Benchmarks.hs analog — per-primitive cost tables, SURVEY §4):
+  always:        simple_mul halo2 (headline), G1 MSM points/s microbench
+  BENCH_FULL=1:  simple_mul GWC19, lookup_table halo2
+  BENCH_ATMS=1:  ATMS 50/90 halo2 (k=14 native proving takes ~1 min on host)
 
 Baseline target (BASELINE.json north star): >= 10_000 simple_mul
-verifications/s per v5e chip.
+verifications/s per v5e chip. If the headline lands below the recorded
+regression floor (BASELINE.json "floor_vs_baseline"), exits 1 — the perf
+analog of the reference's hard budget asserts
+(VerificationTestPlutus.hs:39-46).
 
-Tries batch sizes from BENCH_BATCHES (comma list, largest first) and falls
-back to the next candidate if the backend rejects a shape."""
+Env: BENCH_BATCHES (comma list, largest first), BENCH_ITERS, BENCH_FULL,
+BENCH_ATMS."""
 
 import json
 import os
@@ -17,64 +27,176 @@ import time
 
 import numpy as np
 
+RESULTS = []
 
-def run_once(batch: int, iters: int):
+
+def emit(row):
+    RESULTS.append(row)
+    print(json.dumps(row), flush=True)
+
+
+def _fetch(x):
+    return np.asarray(x)
+
+
+def _time_best(fn, iters):
+    times = []
+    for _ in range(iters):
+        t0 = time.time()
+        _fetch(fn())
+        times.append(time.time() - t0)
+    return min(times)
+
+
+def _bench_circuit(circuit, flavor, inputs, batch, iters, metric, dev,
+                   vs_baseline_of=None, n_proofs=4, seeds=None):
     import jax
 
-    from plutus_halo2_tpu.models.circuits import SimpleMulCircuit
-    from plutus_halo2_tpu.models.plan import FLAVOR_HALO2
     from plutus_halo2_tpu.models.verifier_jax import JaxVerifier
     from plutus_halo2_tpu.refimpl.keygen import keygen
     from plutus_halo2_tpu.refimpl.prover import prove
     from plutus_halo2_tpu.refimpl.srs import TrapdoorSRS
 
-    circuit = SimpleMulCircuit()
-    pk, plan = keygen(circuit, flavor=FLAVOR_HALO2, srs=TrapdoorSRS.from_seed(b"bench-srs"))
-    inputs = [42, 42, 42]
+    pk, plan = keygen(circuit, flavor=flavor, srs=TrapdoorSRS.from_seed(b"bench-srs"))
     base_proofs = [
-        np.frombuffer(prove(pk, plan, circuit, inputs, seed=f"bench-{i}".encode()), dtype=np.uint8)
-        for i in range(4)
+        np.frombuffer(
+            prove(pk, plan, circuit, inputs, seed=f"bench-{i}".encode()),
+            dtype=np.uint8,
+        )
+        for i in range(n_proofs)
     ]
     reps = -(-batch // len(base_proofs))
-    proofs = np.stack((base_proofs * reps)[:batch])
+    proofs = np.stack((base_proofs * reps)[:batch]).copy()
     # a couple of deliberately corrupted rows keep the accept path honest
-    proofs = proofs.copy()
     proofs[1, 100] ^= 0x40
 
     verifier = JaxVerifier(plan)
     pis = verifier.encode_public_inputs([inputs] * batch)
-
-    dev = jax.devices()[0]
     proofs_d = jax.device_put(proofs, dev)
     pis_d = jax.device_put(pis, dev)
 
     t0 = time.time()
-    out = np.asarray(verifier.verify(proofs_d, pis_d))
+    out = _fetch(verifier.verify(proofs_d, pis_d))
     compile_time = time.time() - t0
     assert out[0] and not out[1], f"bench sanity failed: {out[:4]}"
 
-    times = []
-    for _ in range(iters):
-        t0 = time.time()
-        verifier.verify(proofs_d, pis_d)[0].block_until_ready()
-        times.append(time.time() - t0)
-    best = min(times)
+    best = _time_best(lambda: verifier.verify(proofs_d, pis_d), iters)
     throughput = batch / best
+    row = {
+        "metric": metric,
+        "value": round(throughput, 2),
+        "unit": "proofs/s",
+        "batch": batch,
+        "steady_state_sec": round(best, 4),
+        "compile_sec": round(compile_time, 1),
+        "msm_terms": verifier.msm_term_counts,
+        "device": str(dev),
+    }
+    if vs_baseline_of:
+        row["vs_baseline"] = round(throughput / vs_baseline_of, 4)
+    return row
 
-    print(
-        json.dumps(
-            {
-                "metric": "simple_mul_halo2_verifications_per_sec_per_chip",
-                "value": round(throughput, 2),
-                "unit": "proofs/s",
-                "vs_baseline": round(throughput / 10_000.0, 4),
-                "batch": batch,
-                "steady_state_sec": round(best, 4),
-                "compile_sec": round(compile_time, 1),
-                "device": str(dev),
-            }
-        )
+
+def _bench_msm(batch, iters, dev, K=64):
+    """G1 MSM points/s microbench (the CIP-133 native-MSM cost analog)."""
+    import jax
+
+    from plutus_halo2_tpu.ops import curve as jc, pallas_curve
+    from plutus_halo2_tpu.ops.limb import FR_SPEC
+    from plutus_halo2_tpu.refimpl import curve as rc
+    from plutus_halo2_tpu.refimpl.field import Q
+
+    rng = np.random.default_rng(5)
+    host_pts = [rc.g1_mul(rc.G1_GEN, int(rng.integers(1, 2**62))) for _ in range(K)]
+    pts = np.stack([np.stack([jc.host_point_to_mont(p) for p in host_pts])] * batch)
+    scs = np.stack(
+        [np.stack([FR_SPEC.encode(int.from_bytes(rng.bytes(31), "little") % Q) for _ in range(K)])] * batch
     )
+    pts_d, scs_d = jax.device_put(pts, dev), jax.device_put(scs, dev)
+    msm = pallas_curve.make_msm_kernel(K)
+    t0 = time.time()
+    _fetch(msm(pts_d, scs_d))
+    compile_time = time.time() - t0
+    best = _time_best(lambda: msm(pts_d, scs_d), iters)
+    return {
+        "metric": "g1_msm_points_per_sec",
+        "value": round(batch * K / best, 1),
+        "unit": "points/s",
+        "K": K,
+        "batch": batch,
+        "steady_state_sec": round(best, 4),
+        "compile_sec": round(compile_time, 1),
+        "device": str(dev),
+    }
+
+
+def run_once(batch: int, iters: int):
+    import jax
+
+    from plutus_halo2_tpu.models.circuits import LookupRangeCircuit, SimpleMulCircuit
+    from plutus_halo2_tpu.models.plan import FLAVOR_GWC, FLAVOR_HALO2
+
+    dev = jax.devices()[0]
+    full = os.environ.get("BENCH_FULL", "0") == "1"
+    with_atms = os.environ.get("BENCH_ATMS", "0") == "1"
+
+    if full:
+        emit(
+            _bench_circuit(
+                SimpleMulCircuit(), FLAVOR_GWC, [42, 42, 42], batch, iters,
+                "simple_mul_gwc19_verifications_per_sec_per_chip", dev,
+            )
+        )
+        emit(
+            _bench_circuit(
+                LookupRangeCircuit(values=(3, 9, 14), bits=4), FLAVOR_HALO2, [7],
+                batch, iters, "lookup_table_halo2_verifications_per_sec_per_chip", dev,
+            )
+        )
+    if with_atms:
+        from plutus_halo2_tpu.models.atms import AtmsCircuit, prepare_test_signatures
+
+        parties, threshold, msg = 90, 50, 424242
+        pks, sigs, _comm = prepare_test_signatures(parties, threshold, msg, seed=b"bench-atms")
+        circuit = AtmsCircuit(pks, sigs, msg, threshold)
+        emit(
+            _bench_circuit(
+                circuit, FLAVOR_HALO2, circuit.public_inputs(), batch, iters,
+                "atms_50_90_halo2_verifications_per_sec_per_chip", dev, n_proofs=1,
+            )
+        )
+
+    try:
+        emit(_bench_msm(batch, max(1, iters - 1), dev))
+    except Exception as e:  # microbench failure must not mask the headline
+        print(f"# msm microbench failed: {type(e).__name__}: {e}", file=sys.stderr)
+
+    # headline LAST (single-line consumers read the last line)
+    row = _bench_circuit(
+        SimpleMulCircuit(), FLAVOR_HALO2, [42, 42, 42], batch, iters,
+        "simple_mul_halo2_verifications_per_sec_per_chip", dev,
+        vs_baseline_of=10_000.0,
+    )
+    floor = _baseline_floor()
+    if floor is not None:
+        row["floor_vs_baseline"] = floor
+        row["regressed"] = row["vs_baseline"] < floor
+    emit(row)
+
+    with open(os.path.join(os.path.dirname(__file__), "BENCH_DETAILS.json"), "w") as f:
+        json.dump(RESULTS, f, indent=1)
+    if floor is not None and row["regressed"]:
+        raise SystemExit(
+            f"headline vs_baseline {row['vs_baseline']} below floor {floor}"
+        )
+
+
+def _baseline_floor():
+    try:
+        with open(os.path.join(os.path.dirname(__file__), "BASELINE.json")) as f:
+            return json.load(f).get("floor_vs_baseline")
+    except OSError:
+        return None
 
 
 def main():
@@ -95,6 +217,8 @@ def main():
         try:
             run_once(batch, iters)
             return
+        except SystemExit:
+            raise
         except Exception as e:  # noqa: BLE001 — backend shape limits fall through
             last_err = e
             print(f"# batch={batch} failed: {type(e).__name__}: {e}", file=sys.stderr)

@@ -66,9 +66,14 @@ class KField:
     # names of the packed constant rows (each a (L+1,)-padded uint32 row)
     CONST_ROWS = ("n", "neg_n", "one_mont", "r2")
 
-    def __init__(self, spec: FieldSpec):
+    def __init__(self, spec: FieldSpec, unroll_mul: bool = False):
         self.spec = spec
         self.L = spec.L
+        # unroll_mul=True emits the CIOS limb loop as straight-line code —
+        # Mosaic compiles ONE big block faster than many small scf.for
+        # regions; False wraps it in a fori_loop — XLA-CPU (tests, interpret
+        # mode) compiles the shared body ~12x faster than an unrolled one.
+        self.unroll_mul = unroll_mul
         self.n0p = np.uint32(spec.nprime_limbs[0])
         pad = lambda v: np.concatenate([v, np.zeros(1, np.uint32)])
         self._np_consts = np.stack(
@@ -87,11 +92,14 @@ class KField:
         (4, L+1) uint32."""
         return self._np_consts
 
-    def bind(self, consts) -> "KField":
+    def bind(self, consts, unroll_mul: bool | None = None) -> "KField":
         """In-kernel: rebind to a consts VALUE read from the kernel input ref
-        (shape (4, L+1))."""
+        (shape (4, L+1)); optionally override the mul emission style (pass
+        unroll_mul=not interpret from kernels)."""
         out = copy.copy(self)
         out._bound = consts
+        if unroll_mul is not None:
+            out.unroll_mul = unroll_mul
         return out
 
     def _row(self, name: str, ext: bool = False):
@@ -204,11 +212,11 @@ class KField:
         z1 = jnp.zeros((*batch, 1, lanes), dtype=jnp.uint32)
         zL1 = jnp.zeros((*batch, L - 1, lanes), dtype=jnp.uint32)
 
-        # fori_loop (not Python unroll): the body is traced/compiled ONCE —
-        # XLA-CPU compile of unrolled limb loops scales pathologically with
-        # mul count, and Mosaic handles the loop fine. The per-step operand
-        # limb a_i is peeled by rotating a copy of `a` one limb per step and
-        # reading row 0 (static slices only — no dynamic sublane indexing).
+        # Loop emission is selectable (see __init__): fori_loop shares one
+        # traced body (fast XLA-CPU compile); unrolled is one straight-line
+        # block (fast Mosaic compile). The per-step operand limb a_i is
+        # peeled by rotating a copy of `a` one limb per step and reading
+        # row 0 (static slices only — no dynamic sublane indexing).
         def body(_i, carry):
             tl, arot = carry
             ai = arot[..., 0:1, :]
@@ -230,7 +238,13 @@ class KField:
             )
             return (tl, arot)
 
-        tl, _ = jax.lax.fori_loop(0, L, body, (tl0, a))
+        if self.unroll_mul:
+            carry = (tl0, a)
+            for i in range(L):
+                carry = body(i, carry)
+            tl = carry[0]
+        else:
+            tl, _ = jax.lax.fori_loop(0, L, body, (tl0, a))
         out = self.normalize(jnp.concatenate([tl, z1], axis=-2))
         return self._cond_sub_n(out)
 

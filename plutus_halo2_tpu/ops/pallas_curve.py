@@ -186,57 +186,64 @@ def make_msm_kernel(K: int, lanes: int = LANES, chunk: int = CHUNK,
 
     def kernel(consts_ref, b3_ref, points_ref, mags_ref, negs_ref, out_ref,
                wsum_ref, table_ref):
-        F = kfp.bind(consts_ref[:, :])
+        """Grid (batch_tiles, n_chunks): the chunk axis rides the grid so the
+        chunk body compiles ONCE; the window-sum scratch persists across the
+        sequential chunk steps (initialized at c == 0, the shared doubling
+        chain + output write happen at the last chunk)."""
+        F = kfp.bind(consts_ref[:, :], unroll_mul=not interpret)
         b3 = b3_ref[:, :]
+        c = pl.program_id(1)
 
-        # window sums start at the identity
-        ident_w = k_identity(F, (64, lanes))
-        wsum_ref[:, :, :, :] = jnp.stack(ident_w, axis=1)
+        @pl.when(c == 0)
+        def _():
+            # window sums start at the identity
+            ident_w = k_identity(F, (64, lanes))
+            wsum_ref[:, :, :, :] = jnp.stack(ident_w, axis=1)
 
         widx = jax.lax.broadcasted_iota(jnp.uint32, (chunk, 9, 1, 1, lanes), 1)
+        pts = points_ref[:, :, :, :]  # (chunk, 3, L, B) — this chunk's block
+        p0 = (pts[:, 0], pts[:, 1], pts[:, 2])
+        # table_ref[:, w] = w * P per point: entries 0..8
+        ident = k_identity(F, (chunk, lanes))
+        table_ref[:, 0] = jnp.stack(ident, axis=1)
+        table_ref[:, 1] = pts
 
-        for c in range(n_chunks):
-            pts = points_ref[c * chunk : (c + 1) * chunk]  # (chunk, 3, L, B)
-            p0 = (pts[:, 0], pts[:, 1], pts[:, 2])
-            # table_ref[:, w] = w * P per point: entries 0..8
-            ident = k_identity(F, (chunk, lanes))
-            table_ref[:, 0] = jnp.stack(ident, axis=1)
-            table_ref[:, 1] = pts
+        def build(i, cur):
+            nxt = k_add(F, b3, cur, p0)
+            table_ref[:, pl.ds(i + 2, 1)] = jnp.stack(nxt, axis=1)[:, None]
+            return nxt
 
-            def build(i, cur):
-                nxt = k_add(F, b3, cur, p0)
-                table_ref[:, pl.ds(i + 2, 1)] = jnp.stack(nxt, axis=1)[:, None]
-                return nxt
+        jax.lax.fori_loop(0, 7, build, p0)
 
-            jax.lax.fori_loop(0, 7, build, p0)
+        def window_step(j, _):
+            mag = mags_ref[pl.ds(j, 1), :, :][0]  # (chunk, B) — chunk block
+            neg = negs_ref[pl.ds(j, 1), :, :][0]
+            onehot = mag[:, None, None, None, :] == widx  # (chunk,9,1,1,B)
+            table = table_ref[:, :, :, :, :]
+            # Mosaic: no unsigned reductions — limbs < 2^16 are int32-safe
+            sel = jnp.sum(
+                jnp.where(onehot, table, 0).astype(jnp.int32), axis=1
+            ).astype(jnp.uint32)  # (chunk, 3, L, B)
+            y = sel[:, 1]
+            y = jnp.where(neg[:, None, :].astype(bool), F.neg(y), y)
+            t = k_tree_reduce(F, b3, (sel[:, 0], y, sel[:, 2]), chunk)
+            prev = wsum_ref[pl.ds(j, 1)][0]  # (3, L, B)
+            new = k_add(F, b3, (prev[0], prev[1], prev[2]), t)
+            wsum_ref[pl.ds(j, 1)] = jnp.stack(new, axis=0)[None]
+            return 0
 
-            def window_step(j, _):
-                mag = mags_ref[pl.ds(j, 1), c * chunk : (c + 1) * chunk, :][0]
-                neg = negs_ref[pl.ds(j, 1), c * chunk : (c + 1) * chunk, :][0]
-                onehot = mag[:, None, None, None, :] == widx  # (chunk,9,1,1,B)
-                table = table_ref[:, :, :, :, :]
-                # Mosaic: no unsigned reductions — limbs < 2^16 are int32-safe
-                sel = jnp.sum(
-                    jnp.where(onehot, table, 0).astype(jnp.int32), axis=1
-                ).astype(jnp.uint32)  # (chunk, 3, L, B)
-                y = sel[:, 1]
-                y = jnp.where(neg[:, None, :].astype(bool), F.neg(y), y)
-                t = k_tree_reduce(F, b3, (sel[:, 0], y, sel[:, 2]), chunk)
-                prev = wsum_ref[pl.ds(j, 1)][0]  # (3, L, B)
-                new = k_add(F, b3, (prev[0], prev[1], prev[2]), t)
-                wsum_ref[pl.ds(j, 1)] = jnp.stack(new, axis=0)[None]
-                return 0
+        jax.lax.fori_loop(0, 64, window_step, 0)
 
-            jax.lax.fori_loop(0, 64, window_step, 0)
+        # one shared doubling chain over the window sums, at the last chunk
+        @pl.when(c == n_chunks - 1)
+        def _():
+            def final_step(j, acc):
+                acc = k_double(F, b3, k_double(F, b3, k_double(F, b3, k_double(F, b3, acc))))
+                w = wsum_ref[pl.ds(j, 1)][0]
+                return k_add(F, b3, acc, (w[0], w[1], w[2]))
 
-        # one shared doubling chain over the window sums
-        def final_step(j, acc):
-            acc = k_double(F, b3, k_double(F, b3, k_double(F, b3, k_double(F, b3, acc))))
-            w = wsum_ref[pl.ds(j, 1)][0]
-            return k_add(F, b3, acc, (w[0], w[1], w[2]))
-
-        acc = jax.lax.fori_loop(0, 64, final_step, k_identity(F, (lanes,)))
-        out_ref[:, :, :] = jnp.stack(acc, axis=0)
+            acc = jax.lax.fori_loop(0, 64, final_step, k_identity(F, (lanes,)))
+            out_ref[:, :, :] = jnp.stack(acc, axis=0)
 
     def msm(points, scalars):
         B = points.shape[0]
@@ -256,22 +263,22 @@ def make_msm_kernel(K: int, lanes: int = LANES, chunk: int = CHUNK,
 
         out = pl.pallas_call(
             kernel,
-            grid=(nbt,),
+            grid=(nbt, n_chunks),
             in_specs=[
-                pl.BlockSpec((4, L + 1), lambda b: (0, 0), memory_space=pltpu.VMEM),
-                pl.BlockSpec((L, 1), lambda b: (0, 0), memory_space=pltpu.VMEM),
+                pl.BlockSpec((4, L + 1), lambda b, c: (0, 0), memory_space=pltpu.VMEM),
+                pl.BlockSpec((L, 1), lambda b, c: (0, 0), memory_space=pltpu.VMEM),
                 pl.BlockSpec(
-                    (Kp, 3, L, lanes), lambda b: (0, 0, 0, b), memory_space=pltpu.VMEM
+                    (chunk, 3, L, lanes), lambda b, c: (c, 0, 0, b), memory_space=pltpu.VMEM
                 ),
                 pl.BlockSpec(
-                    (64, Kp, lanes), lambda b: (0, 0, b), memory_space=pltpu.VMEM
+                    (64, chunk, lanes), lambda b, c: (0, c, b), memory_space=pltpu.VMEM
                 ),
                 pl.BlockSpec(
-                    (64, Kp, lanes), lambda b: (0, 0, b), memory_space=pltpu.VMEM
+                    (64, chunk, lanes), lambda b, c: (0, c, b), memory_space=pltpu.VMEM
                 ),
             ],
             out_specs=pl.BlockSpec(
-                (3, L, lanes), lambda b: (0, 0, b), memory_space=pltpu.VMEM
+                (3, L, lanes), lambda b, c: (0, 0, b), memory_space=pltpu.VMEM
             ),
             out_shape=jax.ShapeDtypeStruct((3, L, B), jnp.uint32),
             scratch_shapes=[
@@ -279,7 +286,8 @@ def make_msm_kernel(K: int, lanes: int = LANES, chunk: int = CHUNK,
                 pltpu.VMEM((chunk, 9, 3, L, lanes), jnp.uint32),  # chunk table
             ],
             compiler_params=pltpu.CompilerParams(
-                vmem_limit_bytes=100 * 1024 * 1024
+                vmem_limit_bytes=100 * 1024 * 1024,
+                dimension_semantics=("arbitrary", "arbitrary"),
             ),
             interpret=interpret,
         )(kfp.const_args(), b3_col, pts_k, mags, negs)

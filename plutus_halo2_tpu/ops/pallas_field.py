@@ -31,7 +31,7 @@ def make_pow_kernel(spec: FieldSpec, exponent: int, width: int,
     digits = window_digits(exponent)
 
     def kernel(consts_ref, dig_ref, x_ref, out_ref):
-        F = kf.bind(consts_ref[:, :])
+        F = kf.bind(consts_ref[:, :], unroll_mul=not interpret)
         out_ref[:, :, :] = pow_win_loop(F, x_ref[:, :, :], dig_ref)
 
     def pow_(x):

@@ -51,30 +51,8 @@ _BITS = bin(BLS_X)[3:]  # 63 Miller steps, MSB skipped
 L = FP_SPEC.L
 
 
-def _segments(bits: str):
-    """Static bit schedule -> [(start, n_zero_run, has_one_step)] covering
-    [0, len(bits)) where each segment is a run of '0' steps optionally
-    followed by one '1' step."""
-    segs = []
-    i = 0
-    n = len(bits)
-    while i < n:
-        j = i
-        while j < n and bits[j] == "0":
-            j += 1
-        if j < n:  # bits[j] == '1'
-            segs.append((i, j - i, True))
-            i = j + 1
-        else:
-            segs.append((i, j - i, False))
-            i = j
-    return segs
-
-
-_MILLER_SEGS = _segments(_BITS)
-
-
 _PM2_DIGITS = window_digits(P - 2)  # Fermat inversion schedule for Fp
+_XBITS = np.array([[int(c) for c in _BITS]], dtype=np.int32)  # (1, 63)
 
 
 # ---------------------------------------------------------------------------
@@ -438,8 +416,9 @@ def make_pairing_check(prep1, prep2, lanes: int = LANES, interpret: bool = False
     lines = np.stack([_pack_prep(prep1), _pack_prep(prep2)])  # (2, 63, 4, 2, L)
     gammas = np.stack([xtower._GAMMAS[k] for k in (1, 2, 3)])  # (3, 6, 2, L)
 
-    def kernel(consts_ref, gam_ref, lines_ref, pm2_ref, points_ref, out_ref):
-        F = kfp.bind(consts_ref[:, :])
+    def kernel(consts_ref, gam_ref, lines_ref, pm2_ref, xbits_ref, points_ref,
+               out_ref):
+        F = kfp.bind(consts_ref[:, :], unroll_mul=not interpret)
         fpinv = lambda v: fp_inv_win(F, v, pm2_ref)  # noqa: E731
         gam = gam_ref[:, :, :, :][..., None]  # (3, 6, 2, L, 1)
 
@@ -471,35 +450,38 @@ def make_pairing_check(prep1, prep2, lanes: int = LANES, interpret: bool = False
             c3 = jnp.where(isinf, zero2, c3)
             return k12_mul_sparse023(F, f, c0, c2, c3)
 
-        def dbl_step(i, f):
+        # --- Miller loop: ONE fori body (compile-size discipline); the 5
+        # addition steps run under a real lax.cond branch, so no line product
+        # is computed just to be masked out (BLS_X has 5 ones in 63 steps)
+        def miller_body(i, f):
             f = k12_sqr(F, f)
             f = line_mul(f, 0, i, "dbl")
-            return line_mul(f, 1, i, "dbl")
+            f = line_mul(f, 1, i, "dbl")
 
-        # --- Miller loop: static segment schedule (runs of doubling steps in
-        # fori_loops, the 5 addition steps unrolled)
-        f = k12_one(F, lanes)
-        for start, nzeros, has_one in _MILLER_SEGS:
-            if nzeros:
-                f = jax.lax.fori_loop(start, start + nzeros, dbl_step, f)
-            if has_one:
-                i = start + nzeros
-                f = dbl_step(i, f)
-                f = line_mul(f, 0, i, "add")
-                f = line_mul(f, 1, i, "add")
+            def with_adds(g):
+                g = line_mul(g, 0, i, "add")
+                return line_mul(g, 1, i, "add")
+
+            return jax.lax.cond(xbits_ref[0, i] != 0, with_adds, lambda g: g, f)
+
+        f = jax.lax.fori_loop(0, 63, miller_body, k12_one(F, lanes))
 
         # --- final exponentiation -------------------------------------------
         def exp_by_neg_x(m):
-            """m^x (x the negative BLS parameter): cyclotomic squarings over
-            the same static segment schedule, conjugate at the end."""
-            acc = m
-            for _start, nzeros, has_one in _MILLER_SEGS:
-                n_sq = nzeros + (1 if has_one else 0)
-                acc = jax.lax.fori_loop(
-                    0, n_sq, lambda _i, a: k12_cyc_sqr(F, a), acc
+            """m^x (x the negative BLS parameter): Granger-Scott cyclotomic
+            squarings, multiply-by-m only on the 5 one-bits (lax.cond),
+            conjugate at the end."""
+
+            def body(i, acc):
+                acc = k12_cyc_sqr(F, acc)
+                return jax.lax.cond(
+                    xbits_ref[0, i] != 0,
+                    lambda a: k12_mul(F, a, m),
+                    lambda a: a,
+                    acc,
                 )
-                if has_one:
-                    acc = k12_mul(F, acc, m)
+
+            acc = jax.lax.fori_loop(0, 63, body, m)
             return k12_conj(F, acc)  # negative x: cyclotomic inverse
 
         t = k12_mul(F, k12_conj(F, f), k12_inv(F, f, fpinv))
@@ -532,6 +514,7 @@ def make_pairing_check(prep1, prep2, lanes: int = LANES, interpret: bool = False
                 pl.BlockSpec((3, 6, 2, L), lambda b: (0, 0, 0, 0), memory_space=pltpu.VMEM),
                 pl.BlockSpec((2, 63, 4, 2, L), lambda b: (0, 0, 0, 0, 0), memory_space=pltpu.VMEM),
                 pl.BlockSpec(memory_space=pltpu.SMEM),
+                pl.BlockSpec(memory_space=pltpu.SMEM),
                 pl.BlockSpec((2, 3, L, lanes), lambda b: (0, 0, 0, b), memory_space=pltpu.VMEM),
             ],
             out_specs=pl.BlockSpec((1, lanes), lambda b: (0, b), memory_space=pltpu.VMEM),
@@ -540,7 +523,7 @@ def make_pairing_check(prep1, prep2, lanes: int = LANES, interpret: bool = False
             # at 128 lanes, just over the default 16MB scoped-vmem limit
             compiler_params=pltpu.CompilerParams(vmem_limit_bytes=100 * 1024 * 1024),
             interpret=interpret,
-        )(kfp.const_args(), gammas, lines, _PM2_DIGITS, pts)
+        )(kfp.const_args(), gammas, lines, _PM2_DIGITS, _XBITS, pts)
         return ok[0].astype(bool)
 
     return check

@@ -73,7 +73,13 @@ class VerificationService:
         self.plan = plan
         self.batch_size = int(batch_size)
         self.linger_s = linger_s
-        self._verifier = JaxVerifier(plan)
+        # pick the kernel path for the device this service will dispatch to
+        # (not the process default backend — e.g. a CPU-pinned service in a
+        # TPU-attached process must not trace Pallas kernels)
+        use_pallas = None
+        if device is not None:
+            use_pallas = getattr(device, "platform", "") not in ("cpu",)
+        self._verifier = JaxVerifier(plan, use_pallas=use_pallas)
         if self._verifier.use_pallas and self.batch_size % LANES != 0:
             log.warning(
                 "batch_size=%d is not a multiple of %d: the Pallas TPU fast "

@@ -94,6 +94,24 @@ def test_atms_threshold_unsatisfied_rejected(atms_data):
 
 
 @pytest.mark.slow
+def test_atms_reference_scale_50_of_90():
+    """The reference's headline ATMS benchmark scale (README.md:220): 50-of-90
+    parties, so the circuit/MSM/transcript sizes match the reference's
+    benchmark row (not a toy party count). Native proving at k=14-15 takes
+    ~a minute on the host."""
+    pks, sigs, _comm = prepare_test_signatures(90, 50, MSG, seed=b"atms-50-90")
+    circuit = AtmsCircuit(pks, sigs, MSG, 50)
+    pk, plan = keygen(circuit, flavor=FLAVOR_HALO2, srs=SRS)
+    proof = prove(pk, plan, circuit, circuit.public_inputs())
+    ok, _ = verify(plan, proof, circuit.public_inputs())
+    assert ok, "50-of-90 ATMS proof must verify"
+    bad = bytearray(proof)
+    bad[48 * 2 + 2] ^= 0x40
+    ok, _ = verify(plan, bytes(bad), circuit.public_inputs())
+    assert not ok, "tampered 50-of-90 ATMS proof must fail"
+
+
+@pytest.mark.slow
 def test_atms_with_lookups(atms_data):
     pks, sigs = atms_data
     circuit = AtmsLookupCircuit(pks, sigs, MSG, 1)

@@ -1,0 +1,180 @@
+#!/usr/bin/env python
+"""Two-process "2-host" scaling smoke on CPU.
+
+Real multi-host TPU slices are not available in this environment, so this
+drives the EXACT multi-host code path (jax.distributed.initialize + a global
+dcn x local mesh + jax.make_array_from_process_local_data) across two OS
+processes with gloo CPU collectives. It checks:
+  - the distributed client initializes and both processes see 2x4 devices;
+  - a globally-sharded batch verification returns correct per-proof verdicts
+    (one corrupted row);
+  - reports per-process wall time for 1-process vs 2-process runs of the same
+    global batch, i.e. the scaling-efficiency measurement harness
+    (BASELINE.json: >= 80% scaling 1 -> 2 hosts; on CPU the number is
+    indicative only — the harness is what transfers to a real pod).
+
+Usage: python tools/multihost_smoke.py            # launcher, spawns workers
+       python tools/multihost_smoke.py --worker I # internal
+Writes MULTIHOST_SMOKE.json {ok, verdicts, t1, t2, scaling}.
+"""
+
+import json
+import os
+import subprocess
+import sys
+import time
+
+PORT = int(os.environ.get("SMOKE_PORT", "52711"))
+NPROC = 2
+LOCAL_DEVICES = 4
+BATCH = 8  # global batch: one proof per device
+
+
+def worker(pid: int, nproc: int, batch: int, out_path: str | None):
+    os.environ["XLA_FLAGS"] = (
+        os.environ.get("XLA_FLAGS", "")
+        + f" --xla_force_host_platform_device_count={LOCAL_DEVICES}"
+    ).strip()
+    os.environ["JAX_PLATFORMS"] = "cpu"
+    import jax
+
+    jax.config.update("jax_cpu_collectives_implementation", "gloo")
+    if nproc > 1:
+        from plutus_halo2_tpu.parallel.mesh import init_distributed
+
+        init_distributed(f"localhost:{PORT}", nproc, pid)
+    import numpy as np
+    from jax.sharding import NamedSharding, PartitionSpec as P
+
+    assert jax.process_count() == nproc
+    assert len(jax.devices()) == nproc * LOCAL_DEVICES
+
+    sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+    import __graft_entry__ as g
+    from plutus_halo2_tpu.parallel.mesh import make_mesh_2d
+
+    verifier, proofs, pis = g._build(batch=batch)
+    proofs = proofs.copy()
+    proofs[3, 100] ^= 0x40
+    expected = [i != 3 for i in range(batch)]
+
+    # dcn (process) axis outer, local devices inner; batch shards over both
+    mesh = make_mesh_2d(dp=nproc, mp=LOCAL_DEVICES, devices=jax.devices(),
+                        axes=("dcn", "ici"))
+    sh = NamedSharding(mesh, P(("dcn", "ici")))
+    sh_p = NamedSharding(mesh, P(("dcn", "ici"), None))
+    sh_i = NamedSharding(mesh, P(("dcn", "ici"), None, None))
+    # each process contributes its local slice of the global batch
+    per = batch // nproc
+    proofs_g = jax.make_array_from_process_local_data(
+        sh_p, proofs[pid * per : (pid + 1) * per], proofs.shape
+    )
+    pis_g = jax.make_array_from_process_local_data(
+        sh_i, pis[pid * per : (pid + 1) * per], pis.shape
+    )
+
+    fn = jax.jit(
+        verifier._verify_impl, in_shardings=(sh_p, sh_i), out_shardings=sh
+    )
+    from jax.experimental import multihost_utils
+
+    out = fn(proofs_g, pis_g)
+    t0 = time.time()
+    out = fn(proofs_g, pis_g)
+    local = np.asarray(multihost_utils.process_allgather(out, tiled=True))
+    dt = time.time() - t0
+    assert local.tolist() == expected, f"verdicts wrong: {local.tolist()}"
+    if pid == 0:
+        result = {"verdicts": local.tolist(), "steady_sec": dt}
+        if out_path:
+            with open(out_path, "w") as f:
+                json.dump(result, f)
+        print(f"worker0: verdicts ok, steady={dt:.3f}s", flush=True)
+
+
+def single_process_baseline(batch: int) -> float:
+    """Same global batch on one process (all 8 virtual devices local)."""
+    code = f"""
+import os, sys, time, json
+os.environ["XLA_FLAGS"] = os.environ.get("XLA_FLAGS", "") + " --xla_force_host_platform_device_count={LOCAL_DEVICES * NPROC}"
+os.environ["JAX_PLATFORMS"] = "cpu"
+import jax, numpy as np
+sys.path.insert(0, {os.path.dirname(os.path.dirname(os.path.abspath(__file__)))!r})
+import __graft_entry__ as g
+from plutus_halo2_tpu.parallel.mesh import data_parallel_verify, make_mesh
+verifier, proofs, pis = g._build(batch={BATCH})
+mesh = make_mesh(jax.devices())
+out = np.asarray(data_parallel_verify(verifier, mesh, proofs, pis))
+t0 = time.time()
+out = np.asarray(data_parallel_verify(verifier, mesh, proofs, pis))
+print(json.dumps({{"t": time.time() - t0}}))
+"""
+    env = _clean_env()
+    out = subprocess.run(
+        [sys.executable, "-c", code], capture_output=True, text=True, env=env,
+        timeout=1800,
+    )
+    if out.returncode != 0:
+        raise RuntimeError(f"baseline failed: {out.stderr[-2000:]}")
+    return json.loads(out.stdout.strip().splitlines()[-1])["t"]
+
+
+def _clean_env():
+    env = dict(os.environ)
+    # drop the axon TPU plugin: these children must be pure-CPU jax processes
+    env["PYTHONPATH"] = os.pathsep.join(
+        p for p in env.get("PYTHONPATH", "").split(os.pathsep)
+        if p and "axon" not in p
+    ) or os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+    env.pop("JAX_PLATFORMS", None)
+    return env
+
+
+def main():
+    if "--worker" in sys.argv:
+        pid = int(sys.argv[sys.argv.index("--worker") + 1])
+        worker(pid, NPROC, BATCH, out_path="/tmp/multihost_worker0.json")
+        return
+
+    here = os.path.abspath(__file__)
+    env = _clean_env()
+    procs = [
+        subprocess.Popen(
+            [sys.executable, here, "--worker", str(i)],
+            env=env, stdout=subprocess.PIPE, stderr=subprocess.STDOUT, text=True,
+        )
+        for i in range(NPROC)
+    ]
+    outs = []
+    ok = True
+    for i, p in enumerate(procs):
+        out, _ = p.communicate(timeout=1800)
+        outs.append(out)
+        ok &= p.returncode == 0
+        print(f"--- worker {i} (rc={p.returncode}) ---\n{out[-1500:]}")
+    if not ok:
+        raise SystemExit("multi-process smoke failed")
+
+    with open("/tmp/multihost_worker0.json") as f:
+        two = json.load(f)
+    t1 = single_process_baseline(BATCH)
+    t2 = two["steady_sec"]
+    scaling = t1 / (t2 * 1.0) if t2 > 0 else 0.0
+    result = {
+        "ok": ok,
+        "verdicts": two["verdicts"],
+        "t_1proc_sec": round(t1, 4),
+        "t_2proc_sec": round(t2, 4),
+        "scaling_1to2": round(scaling, 3),
+        "note": "CPU gloo harness; efficiency number is indicative, the "
+                "harness (jax.distributed + dcn x ici mesh + "
+                "make_array_from_process_local_data) is what runs on a pod",
+    }
+    out_path = os.path.join(os.path.dirname(here), "..", "MULTIHOST_SMOKE.json")
+    with open(os.path.abspath(out_path), "w") as f:
+        json.dump(result, f, indent=1)
+    print(json.dumps(result))
+
+
+if __name__ == "__main__":
+    main()
