@@ -134,8 +134,10 @@ def main():
         tau = 0xDEADBEEF
         poly = lambda t: (3 * t * t + 7) % Q
         z, yv = 5, poly(5)
-        W = rc.g1_mul(rc.G1_GEN, (poly(tau) - yv) * fr_inv(tau - z) % Q)
-        er = rc.g1_mul(rc.G1_GEN, 12345)
+        a = (poly(tau) - yv) * fr_inv(tau - z) % Q
+        W = rc.g1_mul(rc.G1_GEN, a)
+        # e(W, tau G2) * e(er, G2) == 1 requires er = -tau*a*G1
+        er = rc.g1_mul(rc.G1_GEN, (-tau * a) % Q)
         prep1 = jp.prepare_g2(rc.g2_mul(rc.G2_GEN, tau))
         prep2 = jp.prepare_g2(rc.G2_GEN)
         elx = jax.device_put(np.stack([spec.to_mont(W[0])] * B), dev)
