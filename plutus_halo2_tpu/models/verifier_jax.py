@@ -134,10 +134,16 @@ class JaxVerifier:
     when targeting TPU with a lane-aligned batch (B % 128 == 0); otherwise the
     pure-XLA graph path is used. Both paths are bit-exact."""
 
-    def __init__(self, plan: CircuitPlan, use_pallas: bool | None = None):
+    def __init__(self, plan: CircuitPlan, use_pallas: bool | None = None,
+                 subgroup_check: bool = False):
         if use_pallas is None:
             use_pallas = jax.default_backend() not in ("cpu",)
         self.use_pallas = use_pallas
+        # strict mode: reject proof points outside the q-order subgroup, the
+        # reference's bls12_381_G1_uncompress semantics (see ops/curve.py —
+        # the verification equation itself is cofactor-insensitive, so this
+        # only affects byte-level accept parity on adversarial encodings)
+        self.subgroup_check = subgroup_check
         self._pallas_cache = {}
         self.plan = plan
         self.layout = build_layout(plan)
@@ -320,6 +326,8 @@ class JaxVerifier:
         pts, pt_valid = jc.decompress(pt_raw, sqrt_fn=sqrt_fn)
         points = {n: pts[:, i] for i, n in enumerate(point_names)}
         all_valid = jnp.all(pt_valid, axis=-1)
+        if self.subgroup_check:
+            all_valid = all_valid & jnp.all(jc.subgroup_check(pts), axis=-1)
 
         # ---- scalar-side computation -------------------------------------
         x = ch["x"]

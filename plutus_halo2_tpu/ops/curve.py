@@ -245,6 +245,59 @@ def msm(points, scalars):
     return tree_sum(mul(points, scalars))
 
 
+# --- subgroup membership (strict mode) --------------------------------------
+# The reference's on-chain verifiers get subgroup checking for free from the
+# bls12_381_G1_uncompress builtin (CIP-0381). The verification equation
+# itself is insensitive to cofactor components (the reduced pairing's G1-side
+# argument lives in E(Fp)/qE(Fp), and the h-torsion IS qE(Fp)), so the check
+# is exposed as an opt-in strict mode for byte-level accept/reject parity.
+#
+# Criterion (Bowe 2019 / Scott 2021, validated at import in refimpl tests):
+#   P in G1  <=>  phi(P) == [z^2 - 1] P,   phi(x, y) = (beta x, y)
+# with z the (negative) BLS parameter and beta the cube root of unity in Fp
+# paired with lambda = z^2 - 1 (lambda^2 + lambda + 1 = 0 mod q).
+
+def _derive_beta() -> int:
+    from ..refimpl.field import P as _P
+
+    b = 2
+    while True:
+        c = pow(b, (_P - 1) // 3, _P)
+        if c != 1:
+            return pow(c, 2, _P)  # the root paired with lambda = z^2 - 1
+        b += 1
+
+
+_BETA_MONT = FP_SPEC.to_mont(_derive_beta())
+from ..refimpl.field import BLS_X as _BLS_X  # noqa: E402
+
+_ZBITS = np.array([int(c) for c in bin(_BLS_X)[2:]], dtype=np.uint32)  # |z| MSB first
+
+
+def _mul_by_z_abs(p):
+    """[|z|]P via a scanned double-and-add over the static 64-bit pattern
+    (|z| has popcount 6; the always-computed add keeps the compiled graph one
+    traced body — this is the opt-in strict path, not the hot loop)."""
+
+    def body(acc, bit):
+        acc = double(acc)
+        with_p = add(acc, p)
+        return select(jnp.broadcast_to(bit.astype(bool), acc.shape[:-2]), with_p, acc), None
+
+    ident = identity(p.shape[:-2])
+    out, _ = jax.lax.scan(body, ident, jnp.asarray(_ZBITS))
+    return out
+
+
+def subgroup_check(p):
+    """(..., 3, L) projective Montgomery points -> (...,) bool: q-order
+    subgroup membership (identity counts as a member)."""
+    t = _mul_by_z_abs(_mul_by_z_abs(p))  # [z^2]P (sign squares away)
+    rhs = add(t, neg(p))  # [z^2 - 1]P
+    phi_p = pt(fp.mul(pt_x(p), jnp.asarray(_BETA_MONT)), pt_y(p), pt_z(p))
+    return eq(phi_p, rhs) | is_identity(p)
+
+
 def is_on_curve(p):
     """y^2 z = x^3 + b z^3 (projective curve equation)."""
     X, Y, Z = pt_x(p), pt_y(p), pt_z(p)

@@ -61,11 +61,19 @@ def make_mesh_2d(dp: int | None = None, mp: int = 1, devices=None,
         dp = n // mp
     assert dp * mp == n, f"dp*mp = {dp * mp} != {n} devices"
     if jax.process_count() > 1:
-        from jax.experimental import mesh_utils
+        try:
+            from jax.experimental import mesh_utils
 
-        arr = mesh_utils.create_hybrid_device_mesh(
-            (dp // jax.process_count(), mp), (jax.process_count(), 1), devices=devices
-        ).reshape(dp, mp)
+            arr = mesh_utils.create_hybrid_device_mesh(
+                (dp // jax.process_count(), mp), (jax.process_count(), 1),
+                devices=devices,
+            ).reshape(dp, mp)
+        except ValueError:
+            # no slice topology info (e.g. multi-process CPU): order the
+            # outer axis by owning process so dp collectives cross processes
+            arr = np.asarray(
+                sorted(devices, key=lambda d: (d.process_index, d.id))
+            ).reshape(dp, mp)
     else:
         arr = np.asarray(devices).reshape(dp, mp)
     return Mesh(arr, axes)

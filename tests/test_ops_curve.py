@@ -127,3 +127,31 @@ def test_decompress_proof_points():
     assert bool(np.all(np.asarray(valid)))
     a1 = jc.host_point_from_mont(np.asarray(pts)[0])
     assert a1 == fx.SIMPLE_MUL_A1_UNCOMPRESSED
+
+
+def test_subgroup_check():
+    """phi-based q-order membership: accepts cofactor-cleared points and the
+    generator, rejects a raw E(Fp) point with a nonzero h-torsion component
+    (the bls12_381_G1_uncompress builtin's subgroup semantics)."""
+    from plutus_halo2_tpu.refimpl.field import P as FP
+
+    h = 0x396C8C005555E1568C00AAAB0000AAAB  # G1 cofactor, (z-1)^2 / 3
+    x = 100
+    while True:
+        rhs = (x**3 + 4) % FP
+        y = pow(rhs, (FP + 1) >> 2, FP)
+        if y * y % FP == rhs:
+            raw = (x, y)
+            break
+        x += 1
+    cleared = rc._mul(rc._FP_OPS, raw, h)
+    batch = np.stack(
+        [
+            jc.host_point_to_mont(rc.G1_GEN),
+            jc.host_point_to_mont(cleared),
+            jc.host_point_to_mont(raw),
+            jc.host_point_to_mont(None),  # identity is a member
+        ]
+    )
+    out = np.asarray(jax.jit(jc.subgroup_check)(batch))
+    assert out.tolist() == [True, True, False, True]
