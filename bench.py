@@ -113,7 +113,9 @@ def _bench_msm(batch, iters, dev, K=64):
         [np.stack([FR_SPEC.encode(int.from_bytes(rng.bytes(31), "little") % Q) for _ in range(K)])] * batch
     )
     pts_d, scs_d = jax.device_put(pts, dev), jax.device_put(scs, dev)
-    msm = pallas_curve.make_msm_kernel(K)
+    # jit is load-bearing: unjitted, every surrounding op (digit scan,
+    # transposes) dispatches eagerly through the device tunnel per call
+    msm = jax.jit(pallas_curve.make_msm_kernel(K))
     t0 = time.time()
     _fetch(msm(pts_d, scs_d))
     compile_time = time.time() - t0
