@@ -48,6 +48,18 @@ def _time_best(fn, iters):
     return min(times)
 
 
+def _time_pipelined(fn, iters):
+    """Sustained throughput: dispatch `iters` batches back-to-back (JAX
+    dispatch is async), fetch only the last — hides the per-call host
+    round-trip (~25 ms through the device tunnel) exactly the way a serving
+    loop with in-flight batches does. Returns seconds per batch."""
+    _fetch(fn())  # sync
+    t0 = time.time()
+    outs = [fn() for _ in range(iters)]
+    _fetch(outs[-1])
+    return (time.time() - t0) / iters
+
+
 def _bench_circuit(circuit, flavor, inputs, batch, iters, metric, dev,
                    vs_baseline_of=None, n_proofs=4, seeds=None):
     import jax
@@ -81,13 +93,15 @@ def _bench_circuit(circuit, flavor, inputs, batch, iters, metric, dev,
     assert out[0] and not out[1], f"bench sanity failed: {out[:4]}"
 
     best = _time_best(lambda: verifier.verify(proofs_d, pis_d), iters)
-    throughput = batch / best
+    piped = _time_pipelined(lambda: verifier.verify(proofs_d, pis_d), max(iters, 4))
+    throughput = batch / piped
     row = {
         "metric": metric,
         "value": round(throughput, 2),
         "unit": "proofs/s",
         "batch": batch,
-        "steady_state_sec": round(best, 4),
+        "steady_state_sec": round(piped, 4),
+        "latency_sec": round(best, 4),
         "compile_sec": round(compile_time, 1),
         "msm_terms": verifier.msm_term_counts,
         "device": str(dev),
@@ -158,13 +172,18 @@ def run_once(batch: int, iters: int):
     if with_atms:
         from plutus_halo2_tpu.models.atms import AtmsCircuit, prepare_test_signatures
 
-        parties, threshold, msg = 90, 50, 424242
+        # the reference's benchmark scales (README.md:220-221): 50/90 default,
+        # 228/408 via BENCH_ATMS_PARTIES/BENCH_ATMS_THRESHOLD
+        parties = int(os.environ.get("BENCH_ATMS_PARTIES", "90"))
+        threshold = int(os.environ.get("BENCH_ATMS_THRESHOLD", "50"))
+        msg = 424242
         pks, sigs, _comm = prepare_test_signatures(parties, threshold, msg, seed=b"bench-atms")
         circuit = AtmsCircuit(pks, sigs, msg, threshold)
         emit(
             _bench_circuit(
                 circuit, FLAVOR_HALO2, circuit.public_inputs(), batch, iters,
-                "atms_50_90_halo2_verifications_per_sec_per_chip", dev, n_proofs=1,
+                f"atms_{threshold}_{parties}_halo2_verifications_per_sec_per_chip",
+                dev, n_proofs=1,
             )
         )
 

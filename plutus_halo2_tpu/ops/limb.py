@@ -229,11 +229,13 @@ def sub(spec: FieldSpec, a, b):
         [(MASK16 - b), jnp.zeros_like(b[..., :1])], axis=-1
     )
     a_ext = jnp.concatenate([a, jnp.zeros_like(a[..., :1])], axis=-1)
-    one = jnp.zeros_like(a_ext).at[..., 0].set(1)
+    one = jnp.concatenate(
+        [jnp.ones_like(a[..., :1]), jnp.zeros_like(a)], axis=-1
+    )
     s = normalize(a_ext + n + comp_b + one)
     # value is a + N - b + R with a+N-b < 2N < R, so the top limb is exactly
     # the +R from the complement trick: drop it
-    s = s.at[..., -1].set(0)
+    s = jnp.concatenate([s[..., :-1], jnp.zeros_like(s[..., :1])], axis=-1)
     return _cond_sub_n(spec, s)
 
 
@@ -262,36 +264,52 @@ def mont_mul_conv(spec: FieldSpec, a, b):
 
 
 def mont_mul_cios(spec: FieldSpec, a, b):
-    """Montgomery product via a lazy CIOS fori_loop: simple elementwise HLO
-    (compile-cheap), L sequential steps vectorized over the batch.
+    """Montgomery product via a lazy CIOS fori_loop: L sequential steps
+    vectorized over the batch, scatter-free (XLA-TPU lowers in-loop
+    scatter-adds to real scatter kernels, which are both slow to run and
+    slow to compile; slices + concats fuse into plain vector code).
 
-    Column bound: each physical column lives <= L shifts and gains at most
-    ~4*2^16 + carry per step, staying < 2^23 — far from uint32 overflow. The
-    low column is exact mod 2^16 at every step (all its contributions land
-    in-place), so m_i is exact and the classic CIOS bound gives a final
-    value < N(1 + 2^-17) with our oversized R."""
+    Two-accumulator rotating-peel form, the (..., L)-layout twin of
+    pallas_core.KField.mont_mul (bit-identical results): the per-step operand
+    limb a_i is peeled by rotating a copy of `a` one limb per step and
+    reading column 0 — static slices only, no dynamic indexing.
+
+    Column bound: tl gains < 2^17 per step plus sub-1 carry residue, so
+    columns stay < L*2^17 + L < 2^23 for L <= 32. tl[..., 0] is exact mod
+    2^16 at every step, so m is exact and the classic CIOS bound applies:
+    result < N(1 + 2^-17) with our oversized R, one conditional subtraction."""
     L = spec.L
     n_limbs = jnp.asarray(spec.n_limbs)
     n0p = jnp.uint32(spec.nprime_limbs[0])
     batch = jnp.broadcast_shapes(a.shape[:-1], b.shape[:-1])
     a = jnp.broadcast_to(a, (*batch, L))
     b = jnp.broadcast_to(b, (*batch, L))
-    t0 = jnp.zeros((*batch, L + 2), dtype=jnp.uint32)
+    tl0 = jnp.zeros((*batch, L), dtype=jnp.uint32)
+    z1 = jnp.zeros((*batch, 1), dtype=jnp.uint32)
+    zL1 = jnp.zeros((*batch, L - 1), dtype=jnp.uint32)
 
-    def body(i, t):
-        ai = jax.lax.dynamic_index_in_dim(a, i, axis=-1, keepdims=True)
-        p = ai * b  # exact: both < 2^16 -> < 2^32
-        t = t.at[..., :L].add(p & MASK16)
-        t = t.at[..., 1 : L + 1].add(p >> 16)
-        m = (t[..., :1] * n0p) & MASK16
+    def body(_i, carry):
+        tl, arot = carry
+        ai = arot[..., 0:1]
+        arot = jnp.concatenate([arot[..., 1:], arot[..., 0:1]], axis=-1)
+        p = ai * b  # exact: both operands < 2^16
+        tl = tl + (p & MASK16)
+        m = (tl[..., 0:1] * n0p) & MASK16
         q = m * n_limbs
-        t = t.at[..., :L].add(q & MASK16)
-        t = t.at[..., 1 : L + 1].add(q >> 16)
-        t = t.at[..., 1].add(t[..., 0] >> 16)  # column 0 is now 0 mod 2^16
-        return jnp.concatenate([t[..., 1:], jnp.zeros_like(t[..., :1])], axis=-1)
+        tl = tl + (q & MASK16)
+        # column 0 is now 0 mod 2^16; divide by 2^16: drop column 0, fold its
+        # carry and both products' high halves into the shifted accumulator
+        hsum = (p >> 16) + (q >> 16)
+        carry0 = tl[..., 0:1] >> 16
+        tl = (
+            jnp.concatenate([tl[..., 1:], z1], axis=-1)
+            + hsum
+            + jnp.concatenate([carry0, zL1], axis=-1)
+        )
+        return (tl, arot)
 
-    t = jax.lax.fori_loop(0, L, body, t0)
-    out = normalize(t)[..., : L + 1]
+    tl, _ = jax.lax.fori_loop(0, L, body, (tl0, a))
+    out = normalize(jnp.concatenate([tl, z1], axis=-1))
     return _cond_sub_n(spec, out)
 
 
@@ -338,7 +356,9 @@ def to_mont(spec: FieldSpec, a):
 
 
 def from_mont(spec: FieldSpec, a):
-    one = jnp.zeros_like(a).at[..., 0].set(1)
+    one = jnp.concatenate(
+        [jnp.ones_like(a[..., :1]), jnp.zeros_like(a[..., 1:])], axis=-1
+    )
     return mont_mul(spec, a, one)
 
 

@@ -243,7 +243,8 @@ def make_msm_kernel(K: int, lanes: int = LANES, chunk: int = CHUNK,
                 return k_add(F, b3, acc, (w[0], w[1], w[2]))
 
             acc = jax.lax.fori_loop(0, 64, final_step, k_identity(F, (lanes,)))
-            out_ref[:, :, :] = jnp.stack(acc, axis=0)
+            # canon: the MSM result feeds XLA-level canonical-domain code
+            out_ref[:, :, :] = jnp.stack([F.canon(c) for c in acc], axis=0)
 
     def msm(points, scalars):
         B = points.shape[0]
@@ -265,7 +266,7 @@ def make_msm_kernel(K: int, lanes: int = LANES, chunk: int = CHUNK,
             kernel,
             grid=(nbt, n_chunks),
             in_specs=[
-                pl.BlockSpec((4, L + 1), lambda b, c: (0, 0), memory_space=pltpu.VMEM),
+                pl.BlockSpec((6, L + 1), lambda b, c: (0, 0), memory_space=pltpu.VMEM),
                 pl.BlockSpec((L, 1), lambda b, c: (0, 0), memory_space=pltpu.VMEM),
                 pl.BlockSpec(
                     (chunk, 3, L, lanes), lambda b, c: (c, 0, 0, b), memory_space=pltpu.VMEM

@@ -32,7 +32,8 @@ def make_pow_kernel(spec: FieldSpec, exponent: int, width: int,
 
     def kernel(consts_ref, dig_ref, x_ref, out_ref):
         F = kf.bind(consts_ref[:, :], unroll_mul=not interpret)
-        out_ref[:, :, :] = pow_win_loop(F, x_ref[:, :, :], dig_ref)
+        # canon: consumers are XLA-level canonical-domain code
+        out_ref[:, :, :] = F.canon(pow_win_loop(F, x_ref[:, :, :], dig_ref))
 
     def pow_(x):
         B = x.shape[0]
@@ -43,7 +44,7 @@ def make_pow_kernel(spec: FieldSpec, exponent: int, width: int,
             kernel,
             grid=(nbt,),
             in_specs=[
-                pl.BlockSpec((4, L + 1), lambda b: (0, 0), memory_space=pltpu.VMEM),
+                pl.BlockSpec((6, L + 1), lambda b: (0, 0), memory_space=pltpu.VMEM),
                 pl.BlockSpec(memory_space=pltpu.SMEM),
                 pl.BlockSpec((width, L, lanes), lambda b: (0, 0, b), memory_space=pltpu.VMEM),
             ],

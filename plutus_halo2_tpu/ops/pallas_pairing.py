@@ -486,17 +486,42 @@ def make_pairing_check(prep1, prep2, lanes: int = LANES, interpret: bool = False
 
         t = k12_mul(F, k12_conj(F, f), k12_inv(F, f, fpinv))
         m = k12_mul(F, k12_frobenius(F, t, gam[1], odd=False), t)
-        a = k12_mul(F, exp_by_neg_x(m), k12_conj(F, m))
-        b = k12_mul(F, exp_by_neg_x(a), k12_conj(F, a))
-        c_ = k12_mul(F, exp_by_neg_x(b), k12_frobenius(F, b, gam[0], odd=True))
-        d = exp_by_neg_x(exp_by_neg_x(c_))
+
+        # Hard part 3h = (x-1)^2 (x+p) (x^2+p^2-1) + 3: five exp-by-x chains.
+        # Compile-size discipline: ONE exp_by_neg_x emission inside a fori(5)
+        # whose per-step combine is a single k12_mul against a selected
+        # second operand — conj(prev) (steps 0,1), frob_p(prev) (step 2), or
+        # one (steps 3,4: bare exp) — instead of five inlined 63-iteration
+        # chains. The step-2 result c is saved in the carry for the tail.
+        #   step0: a = exp(m) * conj(m)
+        #   step1: b = exp(a) * conj(a)
+        #   step2: c = exp(b) * b^p
+        #   step3:     exp(c)
+        #   step4: d = exp(exp(c))
+        onek = k12_one(F, lanes)
+
+        def chain_body(i, carry):
+            cur, c_saved = carry
+            e_ = exp_by_neg_x(cur)
+            sel = jnp.where(
+                i <= 1,
+                k12_conj(F, cur),
+                jnp.where(i == 2, k12_frobenius(F, cur, gam[0], odd=True), onek),
+            )
+            nxt = k12_mul(F, e_, sel)
+            c_saved = jnp.where(i == 2, nxt, c_saved)
+            return (nxt, c_saved)
+
+        d, c_ = jax.lax.fori_loop(0, 5, chain_body, (m, k12_zero(F, lanes)))
         e = k12_mul(
             F, k12_mul(F, d, k12_frobenius(F, c_, gam[1], odd=False)), k12_conj(F, c_)
         )
         out = k12_mul(F, e, k12_mul(F, k12_sqr(F, m), m))
 
+        # canon before comparing: lazy-domain coefficients may sit at v or
+        # v+N; k12_one is canonical
         diff = jnp.sum(
-            (out != k12_one(F, lanes)).astype(jnp.int32), axis=(0, 1, 2)
+            (F.canon(out) != k12_one(F, lanes)).astype(jnp.int32), axis=(0, 1, 2)
         )  # (B,)
         out_ref[:, :] = (diff == 0)[None, :].astype(jnp.uint32)
 
@@ -510,7 +535,7 @@ def make_pairing_check(prep1, prep2, lanes: int = LANES, interpret: bool = False
             kernel,
             grid=(nbt,),
             in_specs=[
-                pl.BlockSpec((4, L + 1), lambda b: (0, 0), memory_space=pltpu.VMEM),
+                pl.BlockSpec((6, L + 1), lambda b: (0, 0), memory_space=pltpu.VMEM),
                 pl.BlockSpec((3, 6, 2, L), lambda b: (0, 0, 0, 0), memory_space=pltpu.VMEM),
                 pl.BlockSpec((2, 63, 4, 2, L), lambda b: (0, 0, 0, 0, 0), memory_space=pltpu.VMEM),
                 pl.BlockSpec(memory_space=pltpu.SMEM),

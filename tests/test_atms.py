@@ -112,6 +112,27 @@ def test_atms_reference_scale_50_of_90():
 
 
 @pytest.mark.slow
+@pytest.mark.skipif(
+    __import__("os").environ.get("PH2_XL_TESTS") != "1",
+    reason="228-of-408 native proving takes ~10 min on the host; set PH2_XL_TESTS=1",
+)
+def test_atms_reference_scale_228_of_408():
+    """The reference's largest ATMS benchmark row (README.md:221): 228-of-408
+    parties. Exercises the verifier at the reference's largest MSM and
+    transcript sizes."""
+    pks, sigs, _comm = prepare_test_signatures(408, 228, MSG, seed=b"atms-228-408")
+    circuit = AtmsCircuit(pks, sigs, MSG, 228)
+    pk, plan = keygen(circuit, flavor=FLAVOR_HALO2, srs=SRS)
+    proof = prove(pk, plan, circuit, circuit.public_inputs())
+    ok, _ = verify(plan, proof, circuit.public_inputs())
+    assert ok, "228-of-408 ATMS proof must verify"
+    bad = bytearray(proof)
+    bad[48 * 2 + 2] ^= 0x40
+    ok, _ = verify(plan, bytes(bad), circuit.public_inputs())
+    assert not ok, "tampered 228-of-408 ATMS proof must fail"
+
+
+@pytest.mark.slow
 def test_atms_with_lookups(atms_data):
     pks, sigs = atms_data
     circuit = AtmsLookupCircuit(pks, sigs, MSG, 1)
