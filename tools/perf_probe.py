@@ -41,7 +41,7 @@ def main():
 
     B = int(sys.argv[1]) if len(sys.argv) > 1 else 256
     stages = set(sys.argv[2:]) or {
-        "mul", "chain", "pairing", "msm", "blake", "decompress", "verify"
+        "mul", "chain", "pairing", "msm", "blake", "decompress", "sqrtp", "verify"
     }
     dev = jax.devices()[0]
     print(f"device={dev} batch={B}", flush=True)
@@ -87,6 +87,16 @@ def main():
         npts = 16
         raw16 = jax.device_put(np.stack([raw] * npts, axis=1), dev)
         timeit("decompress 16 pts", lambda r: jc.decompress(r)[0], raw16)
+
+    if "sqrtp" in stages:
+        # the in-verifier decompression sqrt: pallas pow kernel, width = #points
+        from plutus_halo2_tpu.ops.pallas_field import make_pow_kernel
+
+        width = 16
+        vals = np.stack([np.stack([spec.to_mont(7 + i) for i in range(width)])] * B)
+        vals_d = jax.device_put(vals, dev)
+        powk = make_pow_kernel(spec, (spec.N + 1) >> 2, width)
+        timeit(f"pallas sqrt pow w={width}", powk, vals_d)
 
     if "msm" in stages or "msmp" in stages:
         K = 24
