@@ -211,10 +211,18 @@ class JaxVerifier:
     def _pallas_pow(self, spec_name: str, exponent: int, width: int):
         key = ("pow", spec_name, exponent, width)
         if key not in self._pallas_cache:
+            from ..ops.pallas_core import FP24_SPEC, fp24_from_fp25, fp25_from_fp24
             from ..ops.pallas_field import make_pow_kernel
 
-            spec = FR_SPEC if spec_name == "fr" else FP_SPEC
-            self._pallas_cache[key] = make_pow_kernel(spec, exponent, width)
+            if spec_name == "fr":
+                self._pallas_cache[key] = make_pow_kernel(FR_SPEC, exponent, width)
+            else:
+                # kernel-side Fp is 24-limb R24 Montgomery; convert at the
+                # boundary so callers keep the XLA-level 25-limb R25 layout
+                pow24 = make_pow_kernel(FP24_SPEC, exponent, width)
+                self._pallas_cache[key] = lambda x: fp25_from_fp24(
+                    pow24(fp24_from_fp25(x))
+                )
         return self._pallas_cache[key]
 
     def _pallas_pairing(self):

@@ -45,14 +45,24 @@ def limbs_to_int(a) -> int:
 
 
 class FieldSpec:
-    """Precomputed constants for one prime field."""
+    """Precomputed constants for one prime field.
 
-    def __init__(self, modulus: int, limbs: int, name: str):
+    margin_bits: required log2(R/N) headroom. The default 17 supports the
+    lazy-sum helpers (reduce_lazy/sum_lazy/dot_lazy fold raw sums of up to
+    2^15 products in one Montgomery pass). margin_bits >= 2 is enough for
+    plain mul/add/sub chains in the [0, 2N) lazy domain (pallas_core) —
+    specs built with a smaller margin MUST NOT be used with the lazy-sum
+    helpers."""
+
+    def __init__(self, modulus: int, limbs: int, name: str, margin_bits: int = 17):
         self.N = modulus
         self.L = limbs
         self.name = name
+        self.margin_bits = margin_bits
         R = 1 << (16 * limbs)
-        assert modulus < R and (modulus << 17) < R, "need N/R <= 2^-17 margin"
+        assert modulus < R and (modulus << margin_bits) < R, (
+            f"need N/R <= 2^-{margin_bits} margin"
+        )
         self.R = R
         self.R_mod = R % modulus
         self.R2_mod = (R * R) % modulus
@@ -264,52 +274,42 @@ def mont_mul_conv(spec: FieldSpec, a, b):
 
 
 def mont_mul_cios(spec: FieldSpec, a, b):
-    """Montgomery product via a lazy CIOS fori_loop: L sequential steps
-    vectorized over the batch, scatter-free (XLA-TPU lowers in-loop
-    scatter-adds to real scatter kernels, which are both slow to run and
-    slow to compile; slices + concats fuse into plain vector code).
+    """Montgomery product via a lazy CIOS fori_loop: simple elementwise HLO,
+    L sequential steps vectorized over the batch.
 
-    Two-accumulator rotating-peel form, the (..., L)-layout twin of
-    pallas_core.KField.mont_mul (bit-identical results): the per-step operand
-    limb a_i is peeled by rotating a copy of `a` one limb per step and
-    reading column 0 — static slices only, no dynamic indexing.
+    The loop body uses in-place `.at[].add` slice updates deliberately: a
+    scatter-free concat/rotate variant (the form the Pallas kernels use) was
+    measured >7x SLOWER to compile on XLA:CPU (the test/dryrun backend) with
+    no measurable effect on the TPU path, where the hot ops run as Pallas
+    kernels anyway.
 
-    Column bound: tl gains < 2^17 per step plus sub-1 carry residue, so
-    columns stay < L*2^17 + L < 2^23 for L <= 32. tl[..., 0] is exact mod
-    2^16 at every step, so m is exact and the classic CIOS bound applies:
-    result < N(1 + 2^-17) with our oversized R, one conditional subtraction."""
+    Column bound: each physical column lives <= L shifts and gains at most
+    ~4*2^16 + carry per step, staying < 2^23 — far from uint32 overflow. The
+    low column is exact mod 2^16 at every step (all its contributions land
+    in-place), so m_i is exact and the classic CIOS bound gives a final
+    value < N(1 + 2^-17) with our oversized R."""
     L = spec.L
     n_limbs = jnp.asarray(spec.n_limbs)
     n0p = jnp.uint32(spec.nprime_limbs[0])
     batch = jnp.broadcast_shapes(a.shape[:-1], b.shape[:-1])
     a = jnp.broadcast_to(a, (*batch, L))
     b = jnp.broadcast_to(b, (*batch, L))
-    tl0 = jnp.zeros((*batch, L), dtype=jnp.uint32)
-    z1 = jnp.zeros((*batch, 1), dtype=jnp.uint32)
-    zL1 = jnp.zeros((*batch, L - 1), dtype=jnp.uint32)
+    t0 = jnp.zeros((*batch, L + 2), dtype=jnp.uint32)
 
-    def body(_i, carry):
-        tl, arot = carry
-        ai = arot[..., 0:1]
-        arot = jnp.concatenate([arot[..., 1:], arot[..., 0:1]], axis=-1)
-        p = ai * b  # exact: both operands < 2^16
-        tl = tl + (p & MASK16)
-        m = (tl[..., 0:1] * n0p) & MASK16
+    def body(i, t):
+        ai = jax.lax.dynamic_index_in_dim(a, i, axis=-1, keepdims=True)
+        p = ai * b  # exact: both < 2^16 -> < 2^32
+        t = t.at[..., :L].add(p & MASK16)
+        t = t.at[..., 1 : L + 1].add(p >> 16)
+        m = (t[..., :1] * n0p) & MASK16
         q = m * n_limbs
-        tl = tl + (q & MASK16)
-        # column 0 is now 0 mod 2^16; divide by 2^16: drop column 0, fold its
-        # carry and both products' high halves into the shifted accumulator
-        hsum = (p >> 16) + (q >> 16)
-        carry0 = tl[..., 0:1] >> 16
-        tl = (
-            jnp.concatenate([tl[..., 1:], z1], axis=-1)
-            + hsum
-            + jnp.concatenate([carry0, zL1], axis=-1)
-        )
-        return (tl, arot)
+        t = t.at[..., :L].add(q & MASK16)
+        t = t.at[..., 1 : L + 1].add(q >> 16)
+        t = t.at[..., 1].add(t[..., 0] >> 16)  # column 0 is now 0 mod 2^16
+        return jnp.concatenate([t[..., 1:], jnp.zeros_like(t[..., :1])], axis=-1)
 
-    tl, _ = jax.lax.fori_loop(0, L, body, (tl0, a))
-    out = normalize(jnp.concatenate([tl, z1], axis=-1))
+    t = jax.lax.fori_loop(0, L, body, t0)
+    out = normalize(t)[..., : L + 1]
     return _cond_sub_n(spec, out)
 
 
@@ -365,6 +365,7 @@ def from_mont(spec: FieldSpec, a):
 def reduce_lazy(spec: FieldSpec, x):
     """Reduce a lazy limb array (raw sums of < 2^15 canonical elements, limbs
     < 2^31) to canonical form: one Montgomery pass with b = R mod N."""
+    assert spec.margin_bits >= 17, "lazy sums need the 2^17 R/N margin"
     x = _lazy_round(_lazy_round(x))
     return mont_mul(spec, x, jnp.asarray(spec.one_mont))
 

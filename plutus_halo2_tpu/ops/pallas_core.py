@@ -27,9 +27,55 @@ import jax
 import jax.numpy as jnp
 import numpy as np
 
-from .limb import FP_SPEC, FR_SPEC, MASK16, FieldSpec
+from .limb import FP_SPEC, FR_SPEC, MASK16, FieldSpec, int_to_limbs, mont_mul_cios
 
-__all__ = ["KField", "kfp", "kfr", "to_kernel_layout", "from_kernel_layout"]
+__all__ = [
+    "KField", "kfp", "kfr", "FP24_SPEC", "to_kernel_layout",
+    "from_kernel_layout", "fp24_from_fp25", "fp25_from_fp24",
+    "host_reencode24",
+]
+
+# Kernel-side Fp uses 24 limbs — 381 bits fit 24x16 = 384 exactly, so field
+# elements occupy THREE (8, 128) vregs instead of four (25 sublanes round up
+# to 32): ~25% fewer vector ops on every kernel Fp mul/add/sub. The price is
+# a thin R/N margin (R = 2^384, N ~ 2^380.26, N/R = 2^-3.74), which is still
+# ample for the [0, 2N) lazy domain: mul inputs < 2N give
+# T < N(4N/R + 1) < 1.33N. Lazy SUMS (reduce_lazy et al.) are forbidden on
+# this spec (margin_bits=2) — kernels never use them. The XLA level stays on
+# the 25-limb FP_SPEC (R25 = 2^400 Montgomery domain); values cross the
+# kernel boundary through the domain conversions below.
+FP24_SPEC = FieldSpec(FP_SPEC.N, 24, "fp24", margin_bits=2)
+
+# value-level multipliers for the R25 <-> R24 Montgomery domain change:
+#   mont_mul_R25(v*R25, R24 mod N)            = v*R24
+#   mont_mul_R25(v*R24, R25*(R25/R24) mod N)  = v*R25   (R25/R24 = 2^16)
+_R24_RAW = int_to_limbs(FP24_SPEC.R % FP_SPEC.N, FP_SPEC.L)
+_R25_FROM_R24_RAW = int_to_limbs(
+    FP_SPEC.R * (FP_SPEC.R // FP24_SPEC.R) % FP_SPEC.N, FP_SPEC.L
+)
+
+
+def fp24_from_fp25(x):
+    """XLA level: (..., 25) R25-Montgomery canonical -> (..., 24) R24."""
+    y = mont_mul_cios(FP_SPEC, x, jnp.asarray(_R24_RAW))
+    # canonical (< N < 2^381): limb 24 (bits 384..399) is zero
+    return y[..., : FP24_SPEC.L]
+
+
+def fp25_from_fp24(y):
+    """XLA level: (..., 24) R24-Montgomery canonical -> (..., 25) R25."""
+    y25 = jnp.concatenate([y, jnp.zeros_like(y[..., :1])], axis=-1)
+    return mont_mul_cios(FP_SPEC, y25, jnp.asarray(_R25_FROM_R24_RAW))
+
+
+def host_reencode24(arr) -> np.ndarray:
+    """Host: np (..., 25) R25-Montgomery -> (..., 24) R24-Montgomery."""
+    arr = np.asarray(arr)
+    flat = arr.reshape(-1, FP_SPEC.L)
+    out = np.stack(
+        [FP24_SPEC.to_mont(FP_SPEC.from_mont_int(row)) for row in flat]
+    )
+    return out.reshape(*arr.shape[:-1], FP24_SPEC.L)
 
 
 def to_kernel_layout(x):
@@ -349,6 +395,31 @@ def window_digits(exponent: int, wbits: int = 4) -> np.ndarray:
     )
 
 
+def pow_win_loop_tab(F: KField, a, digits_ref, tab_ref):
+    """pow_win_loop with the 16-entry power table in a VMEM scratch ref
+    (shape (16, *a.shape)), selected per window by ONE dynamic slice instead
+    of a 16-wide one-hot compare/sum — the select was ~40% of the ladder for
+    wide operands (perf_probe sqrtp). Semantics identical to pow_win_loop."""
+    import jax.experimental.pallas as pl
+
+    nw = digits_ref.shape[-1]
+    tab_ref[0] = F.one(a.shape[:-2] + a.shape[-1:])
+    tab_ref[1] = a
+    cur = a
+    for i in range(14):
+        cur = F.mont_mul(cur, a)
+        tab_ref[i + 2] = cur
+
+    def _select(d):
+        return tab_ref[pl.ds(d, 1)][0]
+
+    def body(i, acc):
+        acc = F.sqr(F.sqr(F.sqr(F.sqr(acc))))
+        return F.mont_mul(acc, _select(digits_ref[0, i]))
+
+    return jax.lax.fori_loop(1, nw, body, _select(digits_ref[0, 0]))
+
+
 def pow_win_loop(F: KField, a, digits_ref):
     """a^e for a static exponent whose MSB-first 4-bit window digits sit in
     SMEM (1, NW): builds the 16-entry power table once, then a fori_loop of
@@ -374,5 +445,5 @@ def pow_win_loop(F: KField, a, digits_ref):
     return jax.lax.fori_loop(1, nw, body, _select(digits_ref[0, 0]))
 
 
-kfp = KField(FP_SPEC)
+kfp = KField(FP24_SPEC)
 kfr = KField(FR_SPEC)

@@ -36,8 +36,8 @@ import numpy as np
 from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
-from .limb import FP_SPEC, FR_SPEC
-from .pallas_core import KField, kfp
+from .limb import FR_SPEC
+from .pallas_core import FP24_SPEC, KField, fp24_from_fp25, fp25_from_fp24, kfp
 
 LANES = 128
 CHUNK = 8  # points per table-build round (VMEM: table 9*CHUNK*3*L*LANES*4B ~ 2.8MB)
@@ -179,10 +179,10 @@ def make_msm_kernel(K: int, lanes: int = LANES, chunk: int = CHUNK,
     (B, 3, L) using a Pallas kernel gridded over (batch//lanes,). K is static;
     the point axis is zero-padded to a chunk multiple (scalar 0 selects table
     entry 0 which is the identity point, so padding is exact)."""
-    L, Lr = FP_SPEC.L, FR_SPEC.L
+    L, Lr = FP24_SPEC.L, FR_SPEC.L
     n_chunks = -(-K // chunk)
     Kp = n_chunks * chunk
-    b3_col = FP_SPEC.to_mont(12).reshape(-1, 1)  # 3*b, b=4
+    b3_col = FP24_SPEC.to_mont(12).reshape(-1, 1)  # 3*b, b=4
 
     def kernel(consts_ref, b3_ref, points_ref, mags_ref, negs_ref, out_ref,
                wsum_ref, table_ref):
@@ -250,6 +250,9 @@ def make_msm_kernel(K: int, lanes: int = LANES, chunk: int = CHUNK,
         B = points.shape[0]
         assert B % lanes == 0, f"batch {B} must be a multiple of {lanes}"
         nbt = B // lanes
+        # domain boundary: XLA runs 25-limb R25 Montgomery; the kernel runs
+        # 24-limb R24 (3 vregs per element instead of 4)
+        points = fp24_from_fp25(points)
         # pad K axis (scalar 0 selects the identity table entry — exact padding)
         if Kp != K:
             pad_pts = jnp.zeros((B, Kp - K, 3, L), dtype=jnp.uint32)
@@ -293,6 +296,6 @@ def make_msm_kernel(K: int, lanes: int = LANES, chunk: int = CHUNK,
             interpret=interpret,
         )(kfp.const_args(), b3_col, pts_k, mags, negs)
 
-        return jnp.moveaxis(out, -1, 0)  # (B, 3, L)
+        return fp25_from_fp24(jnp.moveaxis(out, -1, 0))  # (B, 3, 25)
 
     return msm

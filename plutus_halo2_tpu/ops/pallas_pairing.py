@@ -42,13 +42,20 @@ from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
 from ..refimpl.field import BLS_X, P
-from .limb import FP_SPEC
-from .pallas_core import kfp, pow_win_loop, staged_broadcast, window_digits
+from .pallas_core import (
+    FP24_SPEC,
+    fp24_from_fp25,
+    host_reencode24,
+    kfp,
+    pow_win_loop,
+    staged_broadcast,
+    window_digits,
+)
 from . import tower as xtower
 
 LANES = 128
 _BITS = bin(BLS_X)[3:]  # 63 Miller steps, MSB skipped
-L = FP_SPEC.L
+L = FP24_SPEC.L  # kernel-side Fp is 24-limb R24 Montgomery (pallas_core)
 
 
 _PM2_DIGITS = window_digits(P - 2)  # Fermat inversion schedule for Fp
@@ -413,8 +420,14 @@ def make_pairing_check(prep1, prep2, lanes: int = LANES, interpret: bool = False
     """Build check(el (B,3,L), er (B,3,L)) -> (B,) bool computing
     e(el, Q1) * e(er, Q2) == 1 with host-prepared Q ladders (projective
     Montgomery inputs; affine conversion happens in-kernel)."""
-    lines = np.stack([_pack_prep(prep1), _pack_prep(prep2)])  # (2, 63, 4, 2, L)
-    gammas = np.stack([xtower._GAMMAS[k] for k in (1, 2, 3)])  # (3, 6, 2, L)
+    # host constants arrive in the XLA side's R25 Montgomery domain;
+    # re-encode once into the kernel's 24-limb R24 domain
+    lines = host_reencode24(
+        np.stack([_pack_prep(prep1), _pack_prep(prep2)])
+    )  # (2, 63, 4, 2, L)
+    gammas = host_reencode24(
+        np.stack([xtower._GAMMAS[k] for k in (1, 2, 3)])
+    )  # (3, 6, 2, L)
 
     def kernel(consts_ref, gam_ref, lines_ref, pm2_ref, xbits_ref, points_ref,
                out_ref):
@@ -529,6 +542,8 @@ def make_pairing_check(prep1, prep2, lanes: int = LANES, interpret: bool = False
         B = el.shape[0]
         assert B % lanes == 0, f"batch {B} must be a multiple of {lanes}"
         nbt = B // lanes
+        # domain boundary: 25-limb R25 (XLA) -> 24-limb R24 (kernel)
+        el, er = fp24_from_fp25(el), fp24_from_fp25(er)
         pts = jnp.stack([jnp.moveaxis(el, 0, -1), jnp.moveaxis(er, 0, -1)])
 
         ok = pl.pallas_call(

@@ -11,7 +11,14 @@ import numpy as np
 import pytest
 
 from plutus_halo2_tpu.ops import limb
-from plutus_halo2_tpu.ops.pallas_core import KField, from_kernel_layout, to_kernel_layout
+from plutus_halo2_tpu.ops.pallas_core import (
+    FP24_SPEC,
+    KField,
+    fp24_from_fp25,
+    fp25_from_fp24,
+    from_kernel_layout,
+    to_kernel_layout,
+)
 
 
 def _rand_batch(spec, B, rng, mont=True):
@@ -20,7 +27,9 @@ def _rand_batch(spec, B, rng, mont=True):
     return vals, np.stack([enc(v) for v in vals])
 
 
-@pytest.mark.parametrize("spec", [limb.FR_SPEC, limb.FP_SPEC], ids=["fr", "fp"])
+@pytest.mark.parametrize(
+    "spec", [limb.FR_SPEC, limb.FP_SPEC, FP24_SPEC], ids=["fr", "fp", "fp24"]
+)
 def test_kernel_layout_ops_match_limb(spec):
     rng = random.Random(11)
     B = 16
@@ -62,6 +71,53 @@ def test_leading_axes_fold():
         for j in range(4):
             got = spec.from_mont_int(out[i, :, j])
             assert got == vals[i][j] ** 2 % spec.N
+
+
+def test_fp24_domain_roundtrip():
+    """R25 <-> R24 Montgomery domain conversions are value-exact, including
+    through a kernel-domain multiplication."""
+    spec25 = limb.FP_SPEC
+    rng = random.Random(14)
+    vals = [rng.randrange(spec25.N) for _ in range(8)] + [0, spec25.N - 1]
+    a25 = np.stack([spec25.to_mont(v) for v in vals])
+    a24 = np.asarray(jax.jit(fp24_from_fp25)(a25))
+    assert a24.shape[-1] == FP24_SPEC.L
+    for i, v in enumerate(vals):
+        assert FP24_SPEC.from_mont_int(a24[i]) == v
+    back = np.asarray(jax.jit(fp25_from_fp24)(a24))
+    for i, v in enumerate(vals):
+        assert spec25.from_mont_int(back[i]) == v
+    # multiply in the 24-limb kernel domain, convert back: value matches
+    kf = KField(FP24_SPEC)
+    ak = np.moveaxis(a24, 0, -1)  # (L24, B)
+    prod25 = np.asarray(
+        jax.jit(
+            lambda p: fp25_from_fp24(jnp.moveaxis(kf.canon(kf.mont_mul(p, p)), -2, -1))
+        )(ak)
+    )  # (B, 25)
+    for i, v in enumerate(vals):
+        assert spec25.from_mont_int(prod25[i]) == v * v % spec25.N
+
+
+def test_pow_kernel_interpret():
+    """make_pow_kernel (dynamic-slice table ladder) in interpret mode, both
+    specs, vs pow() on the host."""
+    from plutus_halo2_tpu.ops.pallas_field import make_pow_kernel
+
+    rng = random.Random(15)
+    for (spec, e), width in (
+        ((limb.FR_SPEC, limb.FR_SPEC.N - 2), 2),
+        ((FP24_SPEC, 12345), 3),  # width 3: exercises the width-chunk padding
+    ):
+        B = 8
+        vals = [[rng.randrange(1, spec.N) for _ in range(width)] for _ in range(B)]
+        x = np.stack([np.stack([spec.to_mont(v) for v in row]) for row in vals])
+        powk = make_pow_kernel(spec, e, width, lanes=B, interpret=True)
+        out = np.asarray(powk(x))
+        assert out.shape == (B, width, spec.L)
+        for i in range(B):
+            for j in range(width):
+                assert spec.from_mont_int(out[i, j]) == pow(vals[i][j], e, spec.N)
 
 
 def test_pallas_call_interpret_mul():

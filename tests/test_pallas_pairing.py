@@ -12,7 +12,7 @@ import pytest
 
 from plutus_halo2_tpu.ops import pallas_pairing as kp
 from plutus_halo2_tpu.ops import tower as xt
-from plutus_halo2_tpu.ops.limb import FP_SPEC
+from plutus_halo2_tpu.ops.pallas_core import FP24_SPEC, host_reencode24
 from plutus_halo2_tpu.ops.pallas_core import kfp
 from plutus_halo2_tpu.refimpl.field import P
 
@@ -26,8 +26,8 @@ def _rand_fp12(rng):
 
 
 def _to_kernel(coeffs6):
-    """host fp12 -> (6, 2, L, B)."""
-    arr = xt.fp12_host_to_mont(coeffs6)  # (6, 2, L)
+    """host fp12 -> (6, 2, L24, B) in the kernel's 24-limb R24 domain."""
+    arr = host_reencode24(xt.fp12_host_to_mont(coeffs6))  # (6, 2, L24)
     return np.broadcast_to(arr[..., None], (*arr.shape, B)).copy()
 
 
@@ -38,9 +38,12 @@ def _to_xla(coeffs6):
 
 
 def _from_kernel(a):
-    """(6, 2, L, B) -> host list for lane 0."""
+    """(6, 2, L24, B) -> host list for lane 0 (R24 domain)."""
     a = np.asarray(a)[..., 0]
-    return [xt.fp2_host_from_mont(a[i]) for i in range(6)]
+    return [
+        (FP24_SPEC.from_mont_int(a[i][0]), FP24_SPEC.from_mont_int(a[i][1]))
+        for i in range(6)
+    ]
 
 
 def _from_xla(a):
@@ -68,7 +71,7 @@ def test_k12_sparse023(rng):
     c0, c2, c3 = [(rng.randrange(P), rng.randrange(P)) for _ in range(3)]
 
     def to_k2(c):
-        arr = xt.fp2_host_to_mont(c)
+        arr = host_reencode24(xt.fp2_host_to_mont(c))
         return np.broadcast_to(arr[..., None], (*arr.shape, B)).copy()
 
     def to_x2(c):
@@ -93,7 +96,7 @@ def test_k12_conj_frobenius(rng):
     assert got == exp
 
     for k in (1, 2):
-        gam = xt._GAMMAS[k][..., None]  # (6, 2, L, 1)
+        gam = host_reencode24(xt._GAMMAS[k])[..., None]  # (6, 2, L24, 1)
         got = _from_kernel(
             jax.jit(partial(kp.k12_frobenius, kfp, odd=bool(k % 2)))(
                 _to_kernel(a), gam_k=gam
@@ -120,8 +123,12 @@ def test_k12_cyclotomic_sqr(rng):
     f = _rand_fp12(rng)
     fx = _to_xla(f)
     t = xt.fp12_mul(xt.fp12_conj(fx), xt.fp12_inv(fx))
-    m = np.asarray(jax.jit(lambda t: xt.fp12_mul(xt.fp12_frobenius(t, 2), t))(t))
-    mk = np.moveaxis(m, 0, -1)  # kernel layout (6, 2, L, B)
+    from plutus_halo2_tpu.ops.pallas_core import fp24_from_fp25
+
+    m = np.asarray(
+        jax.jit(lambda t: fp24_from_fp25(xt.fp12_mul(xt.fp12_frobenius(t, 2), t)))(t)
+    )
+    mk = np.moveaxis(m, 0, -1)  # kernel layout (6, 2, L24, B)
     got = np.asarray(jax.jit(lambda x: kfp.canon(kp.k12_cyc_sqr(kfp, x)))(mk))
     exp = np.asarray(jax.jit(lambda x: kfp.canon(kp.k12_sqr(kfp, x)))(mk))
     assert (got == exp).all()
@@ -134,6 +141,8 @@ def test_pow_win_loop(rng):
     for e in (5, 1 << 16, P - 2):
         digs = jnp.asarray(kp.window_digits(e))
         x = rng.randrange(1, P)
-        xk = np.broadcast_to(FP_SPEC.to_mont(x)[:, None], (FP_SPEC.L, B)).copy()
+        xk = np.broadcast_to(
+            FP24_SPEC.to_mont(x)[:, None], (FP24_SPEC.L, B)
+        ).copy()
         got = np.asarray(jax.jit(lambda a: kp.pow_win_loop(kfp, a, digs))(xk))
-        assert FP_SPEC.from_mont_int(got[:, 0]) == pow(x, e, P), f"exp {e}"
+        assert FP24_SPEC.from_mont_int(got[:, 0]) == pow(x, e, P), f"exp {e}"

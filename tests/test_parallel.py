@@ -51,9 +51,10 @@ def test_sharded_msm_matches_single_device():
     mesh = make_mesh(devs, axis="shard")
     out = np.asarray(sharded_msm(mesh, pts, scs))
     got = jc.host_point_from_mont(out)
+    # the refimpl expectation doubles as the single-device check:
+    # jc.msm == refimpl is already covered by test_ops_curve::test_msm_vs_ref
+    # (compiling jc.msm a second time here costs ~2.5 min on XLA:CPU)
     assert got == expected
-    single = jc.host_point_from_mont(np.asarray(jc.msm(pts[None], scs[None]))[0])
-    assert single == expected
 
 
 def test_shard_map_msm_batched():

@@ -89,13 +89,17 @@ def main():
         timeit("decompress 16 pts", lambda r: jc.decompress(r)[0], raw16)
 
     if "sqrtp" in stages:
-        # the in-verifier decompression sqrt: pallas pow kernel, width = #points
+        # the in-verifier decompression sqrt: pallas pow kernel (24-limb
+        # kernel domain), width = #points
+        from plutus_halo2_tpu.ops.pallas_core import FP24_SPEC
         from plutus_halo2_tpu.ops.pallas_field import make_pow_kernel
 
         width = 16
-        vals = np.stack([np.stack([spec.to_mont(7 + i) for i in range(width)])] * B)
+        vals = np.stack(
+            [np.stack([FP24_SPEC.to_mont(7 + i) for i in range(width)])] * B
+        )
         vals_d = jax.device_put(vals, dev)
-        powk = make_pow_kernel(spec, (spec.N + 1) >> 2, width)
+        powk = make_pow_kernel(FP24_SPEC, (spec.N + 1) >> 2, width)
         timeit(f"pallas sqrt pow w={width}", powk, vals_d)
 
     if "msm" in stages or "msmp" in stages:
