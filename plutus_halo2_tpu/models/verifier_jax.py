@@ -354,23 +354,67 @@ class JaxVerifier:
             else None
         )
 
-        def lagrange_basis(rotations_const):
+        # ---- one pooled Fr inversion --------------------------------------
+        # Every Fr inverse the verifier needs (Lagrange-basis denominators,
+        # 1/(x^n - 1), multiopen interpolation denominators) depends only on
+        # challenges and plan constants, so they all merge into a single
+        # Montgomery-trick batch inversion with ONE Fermat ladder at the root
+        # (was: one latency-bound ladder launch per basis / per point set).
+        inv_blocks = []  # (B, k, L) blocks, concatenated on the k axis
+
+        def _pool(block):
+            start = sum(b.shape[-2] for b in inv_blocks)
+            inv_blocks.append(block)
+            return (start, start + block.shape[-2])
+
+        if self.n_pi:
+            inst_rots = jnp.asarray(self.inst_rotations[: self.n_pi])
+            sl_inst = _pool(fr.sub(x[:, None, :], inst_rots[None, :, :]))
+        van_rots = jnp.asarray(self.van_rotations)
+        sl_van = _pool(fr.sub(x[:, None, :], van_rots[None, :, :]))
+        sl_xn1 = _pool(fr.sub(xn, one)[:, None, :])
+
+        mo_slices = []
+        set_points = None
+        if plan.flavor == FLAVOR_HALO2:
+            x3_ch = ch["x3"]
+            set_points = [[rot_point(r) for r in rots] for rots in plan.point_sets]
+            for pts_s in set_points:
+                dens = []
+                for j in range(len(pts_s)):
+                    den = None
+                    for m in range(len(pts_s)):
+                        if m == j:
+                            continue
+                        dm = fr.sub(pts_s[j], pts_s[m])
+                        den = dm if den is None else fr.mul(den, dm)
+                    dens.append(den if den is not None else fr.one((B,)))
+                z_den = None
+                for p in pts_s:
+                    t = fr.sub(x3_ch, p)
+                    z_den = t if z_den is None else fr.mul(z_den, t)
+                mo_slices.append(_pool(jnp.stack(dens + [z_den], axis=-2)))
+
+        pooled_invs = fr.batch_inv(
+            jnp.concatenate(inv_blocks, axis=-2), axis=-2, inv_fn=fr_root_inv
+        )
+        mo_invs = [pooled_invs[:, a:b, :] for (a, b) in mo_slices]
+
+        def lagrange_basis(rots, sl):
             # l_i(x) = rot_i * (x^n - 1) * bary / (x - rot_i)
-            rots = jnp.asarray(rotations_const)  # (K, L)
-            diffs = fr.sub(x[:, None, :], rots[None, :, :])
-            invs = fr.batch_inv(diffs, axis=-2, inv_fn=fr_root_inv)
+            invs = pooled_invs[:, sl[0] : sl[1], :]
             common = fr.mul(fr.sub(xn, one), jnp.asarray(self.bary_mont))
             return fr.mul(fr.mul(invs, common[:, None, :]), rots[None, :, :])
 
         # instance evaluation
         if self.n_pi:
-            basis_inst = lagrange_basis(self.inst_rotations[: self.n_pi])
+            basis_inst = lagrange_basis(inst_rots, sl_inst)
             pis_mont = fr.to_mont(pis)
             instance_eval = fr.dot_lazy(basis_inst, pis_mont, axis=-2)
         else:
             instance_eval = fr.zeros(x.shape[:-1])
 
-        basis_van = lagrange_basis(self.van_rotations)
+        basis_van = lagrange_basis(van_rots, sl_van)
         bf = vk.blinding_factors
         last_evaluation = basis_van[:, 0, :]
         sum_blind = fr.sum_lazy(basis_van[:, 1 : 1 + bf, :], axis=-2)
@@ -410,11 +454,7 @@ class JaxVerifier:
         y = ch["y"]
         for expr in self.exprs:
             h_eval = fr.add(fr.mul(h_eval, y), eval_expr(expr, env))
-        if self._pallas_ok(B):
-            fr_inv1 = self._pallas_pow("fr", Q - 2, 1)
-            inv_xn1 = fr_inv1(fr.sub(xn, one)[:, None, :])[:, 0, :]
-        else:
-            inv_xn1 = fr.inv(fr.sub(xn, one))
+        inv_xn1 = pooled_invs[:, sl_xn1[0], :]
         vanishing_s = fr.mul(h_eval, inv_xn1)
 
         # ---- evaluation-reference resolution -----------------------------
@@ -512,7 +552,7 @@ class JaxVerifier:
 
         self.msm_term_counts = []
         if plan.flavor == FLAVOR_HALO2:
-            el, er_msm = self._multiopen_halo2(plan, ch, scalars, rot_point, eval_value, com_terms, run_msm, points, x)
+            el, er_msm = self._multiopen_halo2(plan, ch, scalars, eval_value, com_terms, run_msm, points, set_points, mo_invs)
         else:
             el, er_msm = self._multiopen_gwc(plan, ch, scalars, rot_point, eval_value, com_terms, run_msm, points)
 
@@ -540,11 +580,14 @@ class JaxVerifier:
         return pairing_ok & all_valid
 
     # ------------------------------------------------------------------
-    def _multiopen_halo2(self, plan, ch, scalars, rot_point, eval_value, com_terms, run_msm, points, x):
+    def _multiopen_halo2(self, plan, ch, scalars, eval_value, com_terms, run_msm, points, set_points, mo_invs):
         """Halo2-book accumulation (Halo2MultiOpenMSM.hs:59-97) assembled as
-        one MSM; q-set evals/f_eval computed scalar-side."""
-        B = x.shape[0]
+        one MSM; q-set evals/f_eval computed scalar-side. `set_points` are the
+        per-set rotated evaluation points and `mo_invs[s]` the precomputed
+        inverses of [interp denominators..., prod(x3 - pt)] for set s (from
+        the caller's pooled batch inversion)."""
         x1, x2, x3, x4 = ch["x1"], ch["x2"], ch["x3"], ch["x4"]
+        B = x1.shape[0]
         n_sets = len(plan.point_sets)
 
         # powers of x1 / x4
@@ -575,50 +618,29 @@ class JaxVerifier:
             q_eval_sets.append(evs)
 
         # f_eval: Horner in x2 over reversed sets of
-        # (q_eval - r(x3)) / prod(x3 - pt)
-        set_points = [[rot_point(r) for r in rots] for rots in plan.point_sets]
+        # (q_eval - r(x3)) / prod(x3 - pt); denominators arrive pre-inverted
         f_eval = fr.zeros((B,))
         per_set = []
         for s in range(n_sets):
             pts_s = set_points[s]
             evs = q_eval_sets[s]
+            inv_stack = mo_invs[s]
             # r(x3): lagrange interpolation through (pts_s, evs) at x3
-            r_terms = []
-            dens = []
+            r_eval = fr.zeros((B,))
             for j in range(len(pts_s)):
                 num = None
-                den = None
                 for m in range(len(pts_s)):
                     if m == j:
                         continue
                     nm = fr.sub(x3, pts_s[m])
-                    dm = fr.sub(pts_s[j], pts_s[m])
                     num = nm if num is None else fr.mul(num, nm)
-                    den = dm if den is None else fr.mul(den, dm)
                 if num is None:
                     num = fr.one((B,))
-                    den = fr.one((B,))
-                r_terms.append((evs[j], num, den))
-                dens.append(den)
-            # z_den = prod (x3 - pt)
-            z_den = None
-            for p in pts_s:
-                t = fr.sub(x3, p)
-                z_den = t if z_den is None else fr.mul(z_den, t)
-            # batch-invert [dens..., z_den]
-            root_inv = (
-                (lambda t: self._pallas_pow("fr", Q - 2, 1)(t[:, None, :])[:, 0, :])
-                if self._pallas_ok(B)
-                else None
-            )
-            inv_stack = fr.batch_inv(
-                jnp.stack(dens + [z_den], axis=-2), axis=-2, inv_fn=root_inv
-            )
-            r_eval = fr.zeros((B,))
-            for j, (ev, num, _den) in enumerate(r_terms):
-                r_eval = fr.add(r_eval, fr.mul(ev, fr.mul(num, inv_stack[:, j, :])))
+                r_eval = fr.add(
+                    r_eval, fr.mul(evs[j], fr.mul(num, inv_stack[:, j, :]))
+                )
             q_ev = scalars[f"q_eval_{s}"]
-            term = fr.mul(fr.sub(q_ev, r_eval), inv_stack[:, len(dens), :])
+            term = fr.mul(fr.sub(q_ev, r_eval), inv_stack[:, len(pts_s), :])
             per_set.append(term)
         for term in reversed(per_set):
             f_eval = fr.add(fr.mul(f_eval, x2), term)
