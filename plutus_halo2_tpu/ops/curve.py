@@ -322,11 +322,18 @@ def _bytes_be_to_limbs(b):
     return jnp.concatenate([limbs24, pad], axis=-1)
 
 
-def decompress(comp_bytes, sqrt_fn=None):
+def decompress(comp_bytes, sqrt_fn=None, y_hint=None):
     """Batched G1 decompression: (..., 48) uint8 -> (point (..., 3, L),
     valid (...,) bool). Invalid encodings yield valid=False (the caller folds
     this into the verdict; the on-chain builtin would abort the script).
-    sqrt_fn optionally overrides the x^((p+1)/4) ladder (Pallas kernel)."""
+    sqrt_fn optionally overrides the x^((p+1)/4) ladder (Pallas kernel).
+    y_hint optionally supplies an UNTRUSTED candidate root ((..., L)
+    canonical Fp limbs, e.g. host-precomputed): the y^2 == x^3+4 check below
+    rejects non-roots and the sign logic normalizes whichever root was
+    given, so a wrong hint can only flip the verdict to reject, never to
+    accept — this skips the 379-step sqrt ladder entirely (the ladder is
+    the analog of the reference's on-chain decompression,
+    CompressUncompress.hs:81-97)."""
     flags = comp_bytes[..., 0]
     comp_flag = (flags & 0x80) != 0
     inf_flag = (flags & 0x40) != 0
@@ -341,7 +348,9 @@ def decompress(comp_bytes, sqrt_fn=None):
 
     xm = fp.to_mont(x_limbs)
     rhs = fp.add(fp.mul(fp.mul(xm, xm), xm), jnp.broadcast_to(jnp.asarray(_B), xm.shape))
-    if sqrt_fn is not None:
+    if y_hint is not None:
+        y = fp.to_mont(y_hint)
+    elif sqrt_fn is not None:
         y = sqrt_fn(rhs)
     else:
         y = fp.pow(rhs, (FP_SPEC.N + 1) >> 2)
