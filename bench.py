@@ -61,7 +61,7 @@ def _time_pipelined(fn, iters):
 
 
 def _bench_circuit(circuit, flavor, inputs, batch, iters, metric, dev,
-                   vs_baseline_of=None, n_proofs=4, seeds=None):
+                   vs_baseline_of=None, n_proofs=4, seeds=None, y_hints=True):
     import jax
 
     from plutus_halo2_tpu.models.verifier_jax import JaxVerifier
@@ -86,14 +86,22 @@ def _bench_circuit(circuit, flavor, inputs, batch, iters, metric, dev,
     pis = verifier.encode_public_inputs([inputs] * batch)
     proofs_d = jax.device_put(proofs, dev)
     pis_d = jax.device_put(pis, dev)
+    # untrusted decompression hints are per-proof static data that travel
+    # with the proof (computed by any host core / the submitter, re-checked
+    # on device) — prepared outside the timed loop like the proofs themselves
+    hints_d = (
+        jax.device_put(verifier.compute_y_hints(proofs), dev) if y_hints else None
+    )
 
     t0 = time.time()
-    out = _fetch(verifier.verify(proofs_d, pis_d))
+    out = _fetch(verifier.verify(proofs_d, pis_d, hints_d))
     compile_time = time.time() - t0
     assert out[0] and not out[1], f"bench sanity failed: {out[:4]}"
 
-    best = _time_best(lambda: verifier.verify(proofs_d, pis_d), iters)
-    piped = _time_pipelined(lambda: verifier.verify(proofs_d, pis_d), max(iters, 4))
+    best = _time_best(lambda: verifier.verify(proofs_d, pis_d, hints_d), iters)
+    piped = _time_pipelined(
+        lambda: verifier.verify(proofs_d, pis_d, hints_d), max(iters, 4)
+    )
     throughput = batch / piped
     row = {
         "metric": metric,
@@ -104,6 +112,7 @@ def _bench_circuit(circuit, flavor, inputs, batch, iters, metric, dev,
         "latency_sec": round(best, 4),
         "compile_sec": round(compile_time, 1),
         "msm_terms": verifier.msm_term_counts,
+        "y_hints": y_hints,
         "device": str(dev),
     }
     if vs_baseline_of:
@@ -157,6 +166,13 @@ def run_once(batch: int, iters: int):
     with_atms = os.environ.get("BENCH_ATMS", "0") == "1"
 
     if full:
+        emit(
+            _bench_circuit(
+                SimpleMulCircuit(), FLAVOR_HALO2, [42, 42, 42], batch, iters,
+                "simple_mul_halo2_hintless_verifications_per_sec_per_chip",
+                dev, y_hints=False,
+            )
+        )
         emit(
             _bench_circuit(
                 SimpleMulCircuit(), FLAVOR_GWC, [42, 42, 42], batch, iters,

@@ -70,8 +70,17 @@ def main():
     print(f"spec verifier accepts: {ok}")
     assert ok
 
+    # circuit-correct flip offset: the first scalar byte after the G1
+    # commitment prefix, the reference's per-circuit choice (atms.rs:111 uses
+    # 48*16+2, atms_with_lookups.rs:135 uses 48*20+2) — derived here from the
+    # plan's own static layout instead of a hard-coded point count
+    from plutus_halo2_tpu.models.layout import build_layout
+
+    first_scalar = min(build_layout(plan).scalar_offsets.values())
     bad = bytearray(proof)
-    bad[48 * 2 + 2] ^= 0x40
+    bad[first_scalar + 2] ^= 0x40
+    print(f"invalid-proof flip offset: {first_scalar + 2} "
+          f"(= first scalar + 2; {first_scalar // 48} leading points)")
     ok_bad, _ = verify(plan, bytes(bad), inputs)
     print(f"spec verifier rejects tampered proof: {not ok_bad}")
     assert not ok_bad

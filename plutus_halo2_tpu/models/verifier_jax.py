@@ -254,11 +254,125 @@ class JaxVerifier:
             [np.stack([FR_SPEC.encode(v % Q) for v in row]) for row in pis]
         ) if len(pis) else np.zeros((0, self.n_pi, FR_SPEC.L), np.uint32)
 
-    def verify(self, proof_bytes, public_inputs):
-        key = (proof_bytes.shape, public_inputs.shape)
+    def verify(self, proof_bytes, public_inputs, y_hints=None):
+        """y_hints: optional (B, n_points, L) canonical Fp limbs — UNTRUSTED
+        candidate y-coordinates for every compressed proof point (see
+        compute_y_hints). When supplied, decompression checks y^2 == x^3 + 4
+        plus the sign bit (2 Fp muls per point) instead of running the
+        379-step (p+1)/4 sqrt ladder the reference performs on-chain
+        (CompressUncompress.hs:81-97). A wrong hint can only flip the verdict
+        to reject, never to accept, so hints need no trust."""
+        key = (proof_bytes.shape, public_inputs.shape,
+               None if y_hints is None else y_hints.shape)
         if key not in self._jitted:
             self._jitted[key] = jax.jit(self._verify_impl)
-        return self._jitted[key](proof_bytes, public_inputs)
+        if y_hints is None:
+            return self._jitted[key](proof_bytes, public_inputs)
+        return self._jitted[key](proof_bytes, public_inputs, y_hints)
+
+    # -- RLC batched pairing ------------------------------------------------
+    def verify_rlc(self, proof_bytes, public_inputs, y_hints=None,
+                   group: int = 8, rng=None):
+        """Batch verification with ONE pairing check per `group` proofs.
+
+        Each group's pairing sides are aggregated with fresh random 128-bit
+        weights: e(sum_b w_b el_b, sG2) * e(sum_b w_b er_b, G2) == 1 holds for
+        honest rows and fails except with probability <= group/2^128 when any
+        row's individual equation fails (standard random-linear-combination
+        batching; the per-row scalar/transcript work and decompression
+        validity stay exact per proof). Rows of a failing group are re-checked
+        individually — exact verdicts, a bad row never taints its group-mates.
+        The pairing is ~45% of the per-proof verify budget, so serving users
+        that accept batch semantics amortize it by ~group.
+
+        Returns (B,) bool verdicts (numpy). Requires B % group == 0."""
+        B = proof_bytes.shape[0]
+        assert B % group == 0, f"batch {B} not a multiple of group {group}"
+        G = B // group
+        if rng is None:
+            rng = np.random.default_rng()
+        # nonzero 128-bit weights as canonical Fr limbs
+        w_ints = [int.from_bytes(rng.bytes(16), "little") | 1 for _ in range(B)]
+        weights = np.stack([FR_SPEC.encode(w) for w in w_ints])
+
+        key = ("rlc", proof_bytes.shape, public_inputs.shape,
+               None if y_hints is None else y_hints.shape, group)
+        if key not in self._jitted:
+            self._jitted[key] = jax.jit(partial(self._rlc_impl, group=group))
+        args = (proof_bytes, public_inputs, weights) if y_hints is None else (
+            proof_bytes, public_inputs, weights, y_hints)
+        group_ok, all_valid, el, er = self._jitted[key](*args)
+        group_ok = np.asarray(group_ok)
+        all_valid = np.asarray(all_valid)
+        verdicts = np.repeat(group_ok, group) & all_valid
+        if not group_ok.all():
+            # exact per-row re-check of every row in a failing group
+            suspects = np.nonzero(np.repeat(~group_ok, group) & all_valid)[0]
+            row_ok = self._recheck_rows(el, er, suspects)
+            verdicts[suspects] = row_ok
+        return verdicts
+
+    def _rlc_impl(self, proof, pis, weights, y_hints=None, *, group):
+        el, er, all_valid = self._core_impl(proof, pis, y_hints)
+        B = proof.shape[0]
+        G = B // group
+        # rows with invalid encodings are already rejected; zero their weight
+        # so they cannot fail their group-mates' aggregate
+        w = jnp.where(all_valid[:, None], weights, 0)
+        el_g = el.reshape(G, group, 3, FP_SPEC.L)
+        er_g = er.reshape(G, group, 3, FP_SPEC.L)
+        w_g = w.reshape(G, group, FR_SPEC.L)
+        agg = lambda p: (  # noqa: E731
+            self._pallas_msm(group)(p, w_g) if self._pallas_ok(G) else jc.msm(p, w_g)
+        )
+        group_ok = self._pairing_check(agg(el_g), agg(er_g))
+        return group_ok, all_valid, el, er
+
+    def _recheck_rows(self, el, er, suspects) -> np.ndarray:
+        """Exact per-row pairing checks for the suspect row indices; chunks
+        of LANES padded with the identity (whose check is trivially true)."""
+        from ..ops.pallas_curve import LANES
+
+        el, er = np.asarray(el), np.asarray(er)
+        ident = np.asarray(jc.host_point_to_mont(None))
+        chunk = LANES if self.use_pallas else max(len(suspects), 1)
+        key = ("rows", chunk)
+        if key not in self._jitted:
+            self._jitted[key] = jax.jit(self._pairing_check)
+        out = np.zeros(len(suspects), dtype=bool)
+        for s in range(0, len(suspects), chunk):
+            idx = suspects[s : s + chunk]
+            el_c = np.broadcast_to(ident, (chunk, 3, FP_SPEC.L)).copy()
+            er_c = el_c.copy()
+            el_c[: len(idx)] = el[idx]
+            er_c[: len(idx)] = er[idx]
+            out[s : s + len(idx)] = np.asarray(
+                self._jitted[key](el_c, er_c)
+            )[: len(idx)]
+        return out
+
+    def compute_y_hints(self, proof_bytes) -> np.ndarray:
+        """Host: (B, PLEN) uint8 proofs -> (B, n_points, L) canonical Fp limb
+        arrays holding a candidate sqrt(x^3 + 4) per compressed proof point.
+        Pure acceleration data — the device re-checks every hint (see
+        verify) — so any host core, the submitting client, or an ingest tier
+        can produce them; duplicate proof rows are computed once."""
+        from ..refimpl.field import P
+
+        proof_bytes = np.ascontiguousarray(proof_bytes, dtype=np.uint8)
+        offs = list(self.layout.point_offsets.values())
+        uniq, inv = np.unique(proof_bytes, axis=0, return_inverse=True)
+        e = (P + 1) >> 2
+        cache = np.zeros((uniq.shape[0], len(offs), FP_SPEC.L), np.uint32)
+        for u in range(uniq.shape[0]):
+            row = uniq[u].tobytes()
+            for i, off in enumerate(offs):
+                x = int.from_bytes(
+                    bytes([row[off] & 0x1F]) + row[off + 1 : off + 48], "big"
+                ) % P
+                rhs = (x * x % P * x + 4) % P
+                cache[u, i] = FP_SPEC.encode(pow(rhs, e, P))
+        return cache[inv.reshape(-1)]
 
     # ------------------------------------------------------------------
     def _fr_from_le_bytes(self, raw):
@@ -282,7 +396,33 @@ class JaxVerifier:
         hi = ((l16 >> 8) & 0xFF).astype(jnp.uint8)
         return jnp.stack([lo, hi], axis=-1).reshape(*pi_limbs.shape[:-1], 32)
 
-    def _verify_impl(self, proof, pis):
+    def _verify_impl(self, proof, pis, y_hints=None):
+        el, er, all_valid = self._core_impl(proof, pis, y_hints)
+        return self._pairing_check(el, er) & all_valid
+
+    def _pairing_check(self, el, er):
+        """(B, 3, L) projective el/er -> (B,) bool: e(el, sG2) e(er, G2) == 1."""
+        B = el.shape[0]
+        if self._pallas_ok(B):
+            return self._pallas_pairing()(el, er)
+
+        def affine(p):
+            inf = jc.is_identity(p)
+            zi = fp.inv(p[..., 2, :])
+            xa = fp.mul(p[..., 0, :], zi)
+            ya = fp.mul(p[..., 1, :], zi)
+            return xa, ya, inf
+
+        el_x, el_y, el_inf = affine(el)
+        er_x, er_y, er_inf = affine(er)
+        return jpair.pairing_check(
+            [
+                ((el_x, el_y, el_inf), self.prep_sg2),
+                ((er_x, er_y, er_inf), self.prep_g2),
+            ]
+        )
+
+    def _core_impl(self, proof, pis, y_hints=None):
         plan, lay, vk = self.plan, self.layout, self.plan.vk
         B = proof.shape[0]
         assert proof.shape[1] == lay.proof_len, (
@@ -326,12 +466,16 @@ class JaxVerifier:
             [np.arange(48) + lay.point_offsets[n] for n in point_names]
         )
         pt_raw = proof[:, jnp.asarray(pt_idx)]  # (B, n_p, 48)
-        sqrt_fn = (
-            self._pallas_pow("fp", (FP_SPEC.N + 1) >> 2, len(point_names))
-            if self._pallas_ok(B)
-            else None
-        )
-        pts, pt_valid = jc.decompress(pt_raw, sqrt_fn=sqrt_fn)
+        if y_hints is not None:
+            # hint path: 2 Fp muls per point instead of the sqrt ladder
+            pts, pt_valid = jc.decompress(pt_raw, y_hint=y_hints)
+        else:
+            sqrt_fn = (
+                self._pallas_pow("fp", (FP_SPEC.N + 1) >> 2, len(point_names))
+                if self._pallas_ok(B)
+                else None
+            )
+            pts, pt_valid = jc.decompress(pt_raw, sqrt_fn=sqrt_fn)
         points = {n: pts[:, i] for i, n in enumerate(point_names)}
         all_valid = jnp.all(pt_valid, axis=-1)
         if self.subgroup_check:
@@ -556,28 +700,9 @@ class JaxVerifier:
         else:
             el, er_msm = self._multiopen_gwc(plan, ch, scalars, rot_point, eval_value, com_terms, run_msm, points)
 
-        # ---- pairing -----------------------------------------------------
+        # ---- pairing sides -------------------------------------------------
         er = jc.neg(er_msm)
-        if self._pallas_ok(B):
-            pairing_ok = self._pallas_pairing()(el, er)
-            return pairing_ok & all_valid
-
-        def affine(p):
-            inf = jc.is_identity(p)
-            zi = fp.inv(p[..., 2, :])
-            xa = fp.mul(p[..., 0, :], zi)
-            ya = fp.mul(p[..., 1, :], zi)
-            return xa, ya, inf
-
-        el_x, el_y, el_inf = affine(el)
-        er_x, er_y, er_inf = affine(er)
-        pairing_ok = jpair.pairing_check(
-            [
-                ((el_x, el_y, el_inf), self.prep_sg2),
-                ((er_x, er_y, er_inf), self.prep_g2),
-            ]
-        )
-        return pairing_ok & all_valid
+        return el, er, all_valid
 
     # ------------------------------------------------------------------
     def _multiopen_halo2(self, plan, ch, scalars, eval_value, com_terms, run_msm, points, set_points, mo_invs):

@@ -41,6 +41,10 @@ from .pallas_core import FP24_SPEC, KField, fp24_from_fp25, fp25_from_fp24, kfp
 
 LANES = 128
 CHUNK = 8  # points per table-build round (VMEM: table 9*CHUNK*3*L*LANES*4B ~ 2.8MB)
+# default signed-window width: 5-bit measured faster than 4-bit for the
+# verifier's K>=8 MSMs on v5e (73.8 vs 77.7 ms at K=16, B=1024) AND ~2x
+# cheaper to Mosaic-compile (fewer window steps -> smaller program)
+WBITS = 5
 
 
 # ---------------------------------------------------------------------------
@@ -147,25 +151,40 @@ def k_tree_reduce(F: KField, b3, t, k: int):
 # signed digit decomposition (XLA level, cheap uint32 work)
 # ---------------------------------------------------------------------------
 
-def signed_digits_msb(scalars):
-    """(..., L_fr) canonical Fr limbs -> (mags, negs) each (64, ...), MSB
-    window first: scalar = sum_w d_w * 16^(63-w) with d_w = (-1)^negs * mags,
-    mags <= 8. Canonical scalars are < 2^255 so the top window absorbs the
-    final carry without overflow (top nibble <= 7, +1 carry <= 8)."""
+def n_windows(wbits: int) -> int:
+    """Signed-digit window count: ceil(256 / wbits). 256 (not 255) so the
+    top window's raw digit is small enough (<= 2^(wbits-1) - 1 for any
+    255-bit scalar) to absorb a signed-recoding carry without flipping —
+    a 255-bit budget fails on e.g. q-1 whose top 5-bit digit is 28."""
+    return -(-256 // wbits)
+
+
+def signed_digits_msb(scalars, wbits: int = 4):
+    """(..., L_fr) canonical Fr limbs -> (mags, negs) each (NW, ...), MSB
+    window first: scalar = sum_w d_w * 2^(wbits*(NW-1-w)) with
+    d_w = (-1)^negs * mags, mags <= 2^(wbits-1)."""
+    NW = n_windows(wbits)
     l = scalars.astype(jnp.uint32)
-    parts = jnp.stack(
-        [(l >> 0) & 0xF, (l >> 4) & 0xF, (l >> 8) & 0xF, (l >> 12) & 0xF], axis=-1
-    )
-    nibbles = parts.reshape(*scalars.shape[:-1], -1)[..., :64]  # LSB first
-    nib_s = jnp.moveaxis(nibbles, -1, 0)  # (64, ...)
+    if wbits == 4:
+        parts = jnp.stack([(l >> s) & 0xF for s in (0, 4, 8, 12)], axis=-1)
+        digs = parts.reshape(*scalars.shape[:-1], -1)[..., :NW]  # LSB first
+    else:
+        bits = (l[..., :, None] >> jnp.arange(16, dtype=jnp.uint32)) & 1
+        bits = bits.reshape(*scalars.shape[:-1], -1)[..., : NW * wbits]
+        weights = (1 << jnp.arange(wbits, dtype=jnp.uint32)).astype(jnp.uint32)
+        digs = jnp.sum(
+            bits.reshape(*scalars.shape[:-1], NW, wbits) * weights, axis=-1
+        )
+    dig_s = jnp.moveaxis(digs, -1, 0)  # (NW, ...)
+    half, base = 1 << (wbits - 1), 1 << wbits
 
     def body(carry, d):
         d = d + carry
-        flip = d > 8
-        mag = jnp.where(flip, 16 - d, d)
+        flip = d > half
+        mag = jnp.where(flip, base - d, d)
         return flip.astype(jnp.uint32), (mag, flip)
 
-    _, (mags, negs) = jax.lax.scan(body, jnp.zeros_like(nib_s[0]), nib_s)
+    _, (mags, negs) = jax.lax.scan(body, jnp.zeros_like(dig_s[0]), dig_s)
     return mags[::-1], negs[::-1]  # MSB window first
 
 
@@ -174,12 +193,17 @@ def signed_digits_msb(scalars):
 # ---------------------------------------------------------------------------
 
 def make_msm_kernel(K: int, lanes: int = LANES, chunk: int = CHUNK,
-                    interpret: bool = False):
+                    interpret: bool = False, wbits: int = WBITS):
     """Build a jittable msm(points (B, K, 3, L), scalars (B, K, L_fr)) ->
     (B, 3, L) using a Pallas kernel gridded over (batch//lanes,). K is static;
     the point axis is zero-padded to a chunk multiple (scalar 0 selects table
-    entry 0 which is the identity point, so padding is exact)."""
+    entry 0 which is the identity point, so padding is exact). wbits selects
+    the signed-window width: 5-bit trades a bigger per-chunk table build
+    (15 adds vs 7) for 20% fewer window steps (51 vs 64) — the win for the
+    verifier's K>=16 MSMs; 4-bit wins for small K."""
     L, Lr = FP24_SPEC.L, FR_SPEC.L
+    NW = n_windows(wbits)  # window count: 64 (4-bit) / 52 (5-bit)
+    TENT = (1 << (wbits - 1)) + 1  # table entries 0..2^(wbits-1)
     n_chunks = -(-K // chunk)
     Kp = n_chunks * chunk
     b3_col = FP24_SPEC.to_mont(12).reshape(-1, 1)  # 3*b, b=4
@@ -197,13 +221,13 @@ def make_msm_kernel(K: int, lanes: int = LANES, chunk: int = CHUNK,
         @pl.when(c == 0)
         def _():
             # window sums start at the identity
-            ident_w = k_identity(F, (64, lanes))
+            ident_w = k_identity(F, (NW, lanes))
             wsum_ref[:, :, :, :] = jnp.stack(ident_w, axis=1)
 
-        widx = jax.lax.broadcasted_iota(jnp.uint32, (chunk, 9, 1, 1, lanes), 1)
+        widx = jax.lax.broadcasted_iota(jnp.uint32, (chunk, TENT, 1, 1, lanes), 1)
         pts = points_ref[:, :, :, :]  # (chunk, 3, L, B) — this chunk's block
         p0 = (pts[:, 0], pts[:, 1], pts[:, 2])
-        # table_ref[:, w] = w * P per point: entries 0..8
+        # table_ref[:, w] = w * P per point: entries 0..2^(wbits-1)
         ident = k_identity(F, (chunk, lanes))
         table_ref[:, 0] = jnp.stack(ident, axis=1)
         table_ref[:, 1] = pts
@@ -213,12 +237,12 @@ def make_msm_kernel(K: int, lanes: int = LANES, chunk: int = CHUNK,
             table_ref[:, pl.ds(i + 2, 1)] = jnp.stack(nxt, axis=1)[:, None]
             return nxt
 
-        jax.lax.fori_loop(0, 7, build, p0)
+        jax.lax.fori_loop(0, TENT - 2, build, p0)
 
         def window_step(j, _):
             mag = mags_ref[pl.ds(j, 1), :, :][0]  # (chunk, B) — chunk block
             neg = negs_ref[pl.ds(j, 1), :, :][0]
-            onehot = mag[:, None, None, None, :] == widx  # (chunk,9,1,1,B)
+            onehot = mag[:, None, None, None, :] == widx  # (chunk,TENT,1,1,B)
             table = table_ref[:, :, :, :, :]
             # Mosaic: no unsigned reductions — limbs < 2^16 are int32-safe
             sel = jnp.sum(
@@ -232,17 +256,18 @@ def make_msm_kernel(K: int, lanes: int = LANES, chunk: int = CHUNK,
             wsum_ref[pl.ds(j, 1)] = jnp.stack(new, axis=0)[None]
             return 0
 
-        jax.lax.fori_loop(0, 64, window_step, 0)
+        jax.lax.fori_loop(0, NW, window_step, 0)
 
         # one shared doubling chain over the window sums, at the last chunk
         @pl.when(c == n_chunks - 1)
         def _():
             def final_step(j, acc):
-                acc = k_double(F, b3, k_double(F, b3, k_double(F, b3, k_double(F, b3, acc))))
+                for _ in range(wbits):
+                    acc = k_double(F, b3, acc)
                 w = wsum_ref[pl.ds(j, 1)][0]
                 return k_add(F, b3, acc, (w[0], w[1], w[2]))
 
-            acc = jax.lax.fori_loop(0, 64, final_step, k_identity(F, (lanes,)))
+            acc = jax.lax.fori_loop(0, NW, final_step, k_identity(F, (lanes,)))
             # canon: the MSM result feeds XLA-level canonical-domain code
             out_ref[:, :, :] = jnp.stack([F.canon(c) for c in acc], axis=0)
 
@@ -259,9 +284,9 @@ def make_msm_kernel(K: int, lanes: int = LANES, chunk: int = CHUNK,
             pad_sc = jnp.zeros((B, Kp - K, Lr), dtype=jnp.uint32)
             points = jnp.concatenate([points, pad_pts], axis=1)
             scalars = jnp.concatenate([scalars, pad_sc], axis=1)
-        # kernel layout: points (Kp, 3, L, B); digit planes (64, Kp, B)
+        # kernel layout: points (Kp, 3, L, B); digit planes (NW, Kp, B)
         pts_k = jnp.moveaxis(points, 0, -1)
-        mags, negs = signed_digits_msb(scalars)
+        mags, negs = signed_digits_msb(scalars, wbits)
         mags = jnp.moveaxis(mags, 1, -1)
         negs = jnp.moveaxis(negs, 1, -1).astype(jnp.uint32)
 
@@ -275,10 +300,10 @@ def make_msm_kernel(K: int, lanes: int = LANES, chunk: int = CHUNK,
                     (chunk, 3, L, lanes), lambda b, c: (c, 0, 0, b), memory_space=pltpu.VMEM
                 ),
                 pl.BlockSpec(
-                    (64, chunk, lanes), lambda b, c: (0, c, b), memory_space=pltpu.VMEM
+                    (NW, chunk, lanes), lambda b, c: (0, c, b), memory_space=pltpu.VMEM
                 ),
                 pl.BlockSpec(
-                    (64, chunk, lanes), lambda b, c: (0, c, b), memory_space=pltpu.VMEM
+                    (NW, chunk, lanes), lambda b, c: (0, c, b), memory_space=pltpu.VMEM
                 ),
             ],
             out_specs=pl.BlockSpec(
@@ -286,8 +311,8 @@ def make_msm_kernel(K: int, lanes: int = LANES, chunk: int = CHUNK,
             ),
             out_shape=jax.ShapeDtypeStruct((3, L, B), jnp.uint32),
             scratch_shapes=[
-                pltpu.VMEM((64, 3, L, lanes), jnp.uint32),  # window sums
-                pltpu.VMEM((chunk, 9, 3, L, lanes), jnp.uint32),  # chunk table
+                pltpu.VMEM((NW, 3, L, lanes), jnp.uint32),  # window sums
+                pltpu.VMEM((chunk, TENT, 3, L, lanes), jnp.uint32),  # chunk table
             ],
             compiler_params=pltpu.CompilerParams(
                 vmem_limit_bytes=100 * 1024 * 1024,

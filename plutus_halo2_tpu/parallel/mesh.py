@@ -16,8 +16,18 @@ import os
 import jax
 import jax.numpy as jnp
 import numpy as np
-from jax.experimental.shard_map import shard_map
 from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
+
+try:  # jax >= 0.6: first-class API (the experimental alias is deprecated)
+    from jax import shard_map as _shard_map_new
+
+    def shard_map(f, mesh, in_specs, out_specs, check_rep=False):
+        return _shard_map_new(
+            f, mesh=mesh, in_specs=in_specs, out_specs=out_specs,
+            check_vma=check_rep,
+        )
+except ImportError:  # pragma: no cover — older jax
+    from jax.experimental.shard_map import shard_map
 
 from ..ops import curve as jc
 

@@ -63,9 +63,19 @@ class VerificationService:
       linger_s: how long to wait for more submissions before dispatching a
         partial (padded) batch.
       device: jax device; defaults to jax.devices()[0].
+      y_hints: compute untrusted decompression hints on the host per dispatch
+        (JaxVerifier.compute_y_hints) so the device skips the sqrt ladder —
+        ~1 ms host work per distinct proof, device re-checks every hint.
+      rlc_group: opt-in batch-pairing semantics — one random-linear-
+        combination pairing check per `rlc_group` proofs instead of one per
+        proof (JaxVerifier.verify_rlc). Per-proof verdicts stay exact for
+        rejected rows (failing groups are re-checked row by row); acceptance
+        carries the standard RLC soundness error <= rlc_group / 2^128. Must
+        divide batch_size.
     """
 
-    def __init__(self, plan, batch_size: int = 128, linger_s: float = 0.02, device=None):
+    def __init__(self, plan, batch_size: int = 128, linger_s: float = 0.02,
+                 device=None, y_hints: bool = True, rlc_group: int | None = None):
         from ..models.layout import build_layout
         from ..models.verifier_jax import JaxVerifier
         from ..ops.pallas_curve import LANES
@@ -88,6 +98,12 @@ class VerificationService:
                 self.batch_size,
                 LANES,
             )
+        self._y_hints = y_hints
+        if rlc_group is not None and self.batch_size % rlc_group:
+            raise ValueError(
+                f"rlc_group {rlc_group} must divide batch_size {self.batch_size}"
+            )
+        self._rlc_group = rlc_group
         self._proof_len = build_layout(plan).proof_len
         self._n_pi = plan.vk.num_public_inputs
         self._device = device
@@ -190,11 +206,19 @@ class VerificationService:
             pis = self._verifier.encode_public_inputs(
                 [list(b.public_inputs) for b in padded]
             )
-            out = np.asarray(
-                self._verifier.verify(
-                    jax.device_put(proofs, dev), jax.device_put(pis, dev)
-                )
+            hints = (
+                jax.device_put(self._verifier.compute_y_hints(proofs), dev)
+                if self._y_hints
+                else None
             )
+            proofs_d = jax.device_put(proofs, dev)
+            pis_d = jax.device_put(pis, dev)
+            if self._rlc_group is not None:
+                out = self._verifier.verify_rlc(
+                    proofs_d, pis_d, hints, group=self._rlc_group
+                )
+            else:
+                out = np.asarray(self._verifier.verify(proofs_d, pis_d, hints))
         except Exception as exc:  # resolve futures rather than hang clients
             for _, fut in items:
                 self._resolve(fut, exc=exc)

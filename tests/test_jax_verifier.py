@@ -106,3 +106,96 @@ def test_jax_verifier_accept_reject(flavor):
     pis_bad = verifier.encode_public_inputs([[1, 2, 3], [1, 2, 3]])
     out2 = np.asarray(verifier.verify(batch, pis_bad))
     assert not out2[0] and not out2[1]
+
+    # hinted decompression path: identical verdicts with honest hints; a
+    # corrupted hint can only flip its row to reject
+    hints = verifier.compute_y_hints(batch)
+    out3 = np.asarray(verifier.verify(batch, pis, hints))
+    assert out3.tolist() == out.tolist()
+    bad_hints = hints.copy()
+    bad_hints[0, 0, 0] ^= 1
+    out4 = np.asarray(verifier.verify(batch, pis, bad_hints))
+    assert not out4[0] and not out4[1]
+
+
+@pytest.mark.slow
+def test_verify_rlc_batched_pairing():
+    """RLC batch-pairing mode: per-group aggregate accept on honest rows,
+    exact row-level verdicts when a group contains failures (single and
+    multiple bad rows, plus wrong-public-input rows)."""
+    circuit, pk, plan = _simple_mul(FLAVOR_HALO2)
+    inputs = [42, 42, 42]
+    proof = np.frombuffer(prove(pk, plan, circuit, inputs), dtype=np.uint8)
+
+    B, group = 8, 4
+    proofs = np.stack([proof] * B)
+    proofs[2, 100] ^= 0x40  # corrupt group 0
+    proofs[5, 48 * 2 + 2] ^= 0x11  # corrupt group 1
+    proofs[6, 48 * 2 + 3] ^= 0x22  # second failure in group 1
+    expected = [True, True, False, True, True, False, False, True]
+
+    verifier = JaxVerifier(plan)
+    pis = verifier.encode_public_inputs([inputs] * B)
+    rng = np.random.default_rng(7)
+    out = verifier.verify_rlc(proofs, pis, group=group, rng=rng)
+    assert out.tolist() == expected
+
+    # all-honest batch: single aggregate pass, no recheck path
+    proofs_ok = np.stack([proof] * B)
+    out2 = verifier.verify_rlc(proofs_ok, pis, group=group, rng=rng)
+    assert out2.tolist() == [True] * B
+
+    # hints compose with RLC
+    hints = verifier.compute_y_hints(proofs)
+    out3 = verifier.verify_rlc(proofs, pis, hints, group=group, rng=rng)
+    assert out3.tolist() == expected
+
+
+@pytest.mark.slow
+def test_strict_subgroup_mode_e2e():
+    """Adversarial non-subgroup encoding through the FULL JaxVerifier: replace
+    one proof point with a valid-encoding point of E(Fp) that lies outside the
+    q-order subgroup (nonzero h-torsion). The reference's verifier aborts on
+    it inside bls12_381_G1_uncompress (CIP-0381 semantics, used at
+    bls_utils.ak:36-45); our strict mode rejects via the per-point
+    subgroup_check bit, and the default mode also rejects (the swapped bytes
+    shift every Fiat-Shamir challenge), so byte-level accept/reject parity
+    holds in both modes on this input."""
+    from plutus_halo2_tpu.refimpl import curve as rc
+    from plutus_halo2_tpu.refimpl.field import P as FP
+
+    circuit, pk, plan = _simple_mul(FLAVOR_HALO2)
+    inputs = [42, 42, 42]
+    proof = np.frombuffer(prove(pk, plan, circuit, inputs), dtype=np.uint8)
+
+    # a curve point with nonzero h-torsion: raw E(Fp) point, NOT cleared
+    x = 100
+    while True:
+        rhs = (x**3 + 4) % FP
+        y = pow(rhs, (FP + 1) >> 2, FP)
+        if y * y % FP == rhs:
+            raw = (x, y)
+            break
+        x += 1
+    # confirm it is outside G1 (else the test would be vacuous)
+    assert rc.g1_mul(raw, rc.Q_ORDER if hasattr(rc, "Q_ORDER") else __import__(
+        "plutus_halo2_tpu.refimpl.field", fromlist=["Q"]).Q) is not None
+    enc = np.frombuffer(rc.g1_compress(raw), dtype=np.uint8)
+
+    evil = np.stack([proof, proof])
+    evil[1, 0:48] = enc  # first advice commitment -> non-subgroup point
+
+    pis_rows = [inputs, inputs]
+    strict = JaxVerifier(plan, subgroup_check=True)
+    pis = strict.encode_public_inputs(pis_rows)
+    out_strict = np.asarray(strict.verify(evil, pis))
+    assert out_strict[0] and not out_strict[1]
+
+    # strict + hints compose
+    hints = strict.compute_y_hints(evil)
+    out_h = np.asarray(strict.verify(evil, pis, hints))
+    assert out_h.tolist() == out_strict.tolist()
+
+    lax = JaxVerifier(plan, subgroup_check=False)
+    out_lax = np.asarray(lax.verify(evil, pis))
+    assert out_lax[0] and not out_lax[1]

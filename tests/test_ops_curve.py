@@ -155,3 +155,30 @@ def test_subgroup_check():
     )
     out = np.asarray(jax.jit(jc.subgroup_check)(batch))
     assert out.tolist() == [True, True, False, True]
+
+
+def test_decompress_y_hints():
+    """Hinted decompression (2 Fp muls) matches the sqrt-ladder path exactly:
+    either root works as a hint (sign logic normalizes), a non-root hint can
+    only flip the verdict to reject, and invalid encodings stay rejected."""
+    from plutus_halo2_tpu.ops.limb import FP_SPEC
+    from plutus_halo2_tpu.refimpl.field import P as FP
+
+    pts = [rc.G1_GEN, rc.g1_neg(rc.G1_GEN), rc.g1_mul(rc.G1_GEN, 42), None]
+    raw = np.stack(
+        [np.frombuffer(rc.g1_compress(p), dtype=np.uint8) for p in pts]
+    )
+    ref_pts, ref_valid = _decompress(raw)
+    # hint = the "wrong" root (negated y) for finite points; zeros for inf
+    hints = np.stack(
+        [FP_SPEC.encode((-p[1]) % FP if p else 0) for p in pts]
+    )
+    h_pts, h_valid = jax.jit(lambda b, h: jc.decompress(b, y_hint=h))(raw, hints)
+    assert np.asarray(h_valid).tolist() == np.asarray(ref_valid).tolist()
+    assert np.array_equal(np.asarray(h_pts), np.asarray(ref_pts))
+
+    # a non-root hint rejects (never accepts a different point)
+    bad = hints.copy()
+    bad[0] = FP_SPEC.encode(12345)
+    b_pts, b_valid = jax.jit(lambda b, h: jc.decompress(b, y_hint=h))(raw, bad)
+    assert np.asarray(b_valid).tolist() == [False, True, True, True]

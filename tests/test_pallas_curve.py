@@ -12,8 +12,8 @@ from plutus_halo2_tpu.refimpl import curve as rc
 from plutus_halo2_tpu.refimpl.field import Q
 
 
-@pytest.mark.parametrize("K", [3, 8, 11])
-def test_pallas_msm_matches_refimpl(K):
+@pytest.mark.parametrize("K,wbits", [(3, 4), (8, 4), (11, 4), (3, 5), (11, 5)])
+def test_pallas_msm_matches_refimpl(K, wbits):
     rng = random.Random(21)
     B = 4
     lanes = 4  # small lane count is fine in interpret mode
@@ -32,7 +32,7 @@ def test_pallas_msm_matches_refimpl(K):
         [np.stack([FR_SPEC.encode(s) for s in row]) for row in scal_rows]
     )
 
-    msm = pallas_curve.make_msm_kernel(K, lanes=lanes, chunk=4, interpret=True)
+    msm = pallas_curve.make_msm_kernel(K, lanes=lanes, chunk=4, interpret=True, wbits=wbits)
     out = np.asarray(msm(pts_batch, scalars))
 
     for b in range(B):

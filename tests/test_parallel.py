@@ -66,10 +66,9 @@ def test_shard_map_msm_batched():
     """shard_map_msm (the in-verifier form) with K not divisible by the axis:
     padding with identity points keeps it exact."""
     import jax
-    from jax.experimental.shard_map import shard_map
     from jax.sharding import Mesh, PartitionSpec as P
 
-    from plutus_halo2_tpu.parallel.mesh import shard_map_msm
+    from plutus_halo2_tpu.parallel.mesh import shard_map, shard_map_msm
 
     rng = random.Random(42)
     K, B = 11, 2  # 11 % 4 != 0 -> exercises the pad path

@@ -82,3 +82,57 @@ def test_lagrange_basis_atms():
     c = fx.ATMS_LAGRANGE_CASE
     got = lg.lagrange_polynomial_basis(c["x"], c["xn"], c["barycentric_weight"], c["rotations"])
     assert got == c["expected_basis"]
+
+
+def test_gwc_toy_case_independent_vector():
+    """GWC19 finalMSM/finalEval cross-check against an INDEPENDENTLY derived
+    toy case (GwcMultiOpenMSM.hs:96-135): the expectation below is computed
+    with plain integer arithmetic written straight from the Haskell formula —
+    no group_queries_by_rotation / build_msm_gwc involved — and the resulting
+    points are additionally pinned as compressed-byte literals, shrinking the
+    prover<->verifier self-consistency surface on the GWC accumulation
+    ordering. Queries: q0@cur, q1@next, q2@cur (tests first-occurrence
+    grouping with an interleaved rotation)."""
+    from plutus_halo2_tpu.refimpl.curve import G1_GEN, g1_compress, g1_mul
+    from plutus_halo2_tpu.refimpl.field import Q
+    from plutus_halo2_tpu.refimpl.multiopen import build_msm_gwc, eval_msm
+
+    a = [5, 7, 11]   # commitment dlogs
+    e = [13, 17, 19]  # claimed evals
+    b = [3, 23]      # witness dlogs per rotation group (cur, next)
+    z = [29, 31]     # rotated evaluation points per group
+    v, u = 37, 41
+
+    # independent expectation, straight from the spec formula:
+    #   left  = sum_i u^i w_i
+    #   right = sum_i u^i z_i w_i + sum_i u^i sum_j v^j c_ij
+    #           - (sum_i u^i sum_j v^j e_ij) G1
+    inner_com = [(a[0] + v * a[2]) % Q, a[1] % Q]
+    inner_ev = [(e[0] + v * e[2]) % Q, e[1] % Q]
+    left_dlog = (b[0] + u * b[1]) % Q
+    right_dlog = (
+        (z[0] * b[0] + u * z[1] * b[1])
+        + (inner_com[0] + u * inner_com[1])
+        - (inner_ev[0] + u * inner_ev[1])
+    ) % Q
+    assert left_dlog == 946 and right_dlog == 28606
+
+    queries = [
+        ("cur", g1_mul(G1_GEN, a[0]), e[0]),
+        ("next", g1_mul(G1_GEN, a[1]), e[1]),
+        ("cur", g1_mul(G1_GEN, a[2]), e[2]),
+    ]
+    witnesses = [g1_mul(G1_GEN, b[0]), g1_mul(G1_GEN, b[1])]
+    left_msm, right_msm = build_msm_gwc(v, u, queries, witnesses, z)
+    left_pt, right_pt = eval_msm(left_msm), eval_msm(right_msm)
+    assert left_pt == g1_mul(G1_GEN, left_dlog)
+    assert right_pt == g1_mul(G1_GEN, right_dlog)
+    # pinned vectors (computed once from the dlogs above)
+    assert g1_compress(left_pt).hex() == (
+        "ac8db093785990afcbe7a4639f80d7974f493b1358dc63b6a6a71978b5d31dc4"
+        "f097ca3cbdc3009d56d74b06a4ec39d0"
+    )
+    assert g1_compress(right_pt).hex() == (
+        "a59c2a121999a1a0fac2a391c5dab2f7dcbb09f6b3b9fabd819e61437e70125b"
+        "2dfe3e16c2a67c4e055252e41d7e6c5e"
+    )

@@ -13,6 +13,11 @@ processes with gloo CPU collectives. It checks:
     (BASELINE.json: >= 80% scaling 1 -> 2 hosts; on CPU the number is
     indicative only — the harness is what transfers to a real pod).
 
+Each emulated "host" is pinned (taskset) to its own slice of the machine's
+cores — the 1-host baseline runs on one slice, the 2-host run gives each
+process its own slice — otherwise both "hosts" contend for the same cores and
+the measurement reflects scheduler contention, not scaling.
+
 Usage: python tools/multihost_smoke.py            # launcher, spawns workers
        python tools/multihost_smoke.py --worker I # internal
 Writes MULTIHOST_SMOKE.json {ok, verdicts, t1, t2, scaling}.
@@ -119,12 +124,23 @@ print(json.dumps({{"t": time.time() - t0}}))
 """
     env = _clean_env()
     out = subprocess.run(
-        [sys.executable, "-c", code], capture_output=True, text=True, env=env,
-        timeout=1800,
+        _pin(0) + [sys.executable, "-c", code], capture_output=True, text=True,
+        env=env, timeout=1800,
     )
     if out.returncode != 0:
         raise RuntimeError(f"baseline failed: {out.stderr[-2000:]}")
     return json.loads(out.stdout.strip().splitlines()[-1])["t"]
+
+
+def _pin(host_idx: int) -> list:
+    """taskset argv prefix giving emulated host `host_idx` its own core
+    slice (empty when the machine cannot be split)."""
+    ncpu = os.cpu_count() or 1
+    per = ncpu // NPROC
+    if per < 1:
+        return []
+    lo = host_idx * per
+    return ["taskset", "-c", f"{lo}-{lo + per - 1}"]
 
 
 def _clean_env():
@@ -148,7 +164,7 @@ def main():
     env = _clean_env()
     procs = [
         subprocess.Popen(
-            [sys.executable, here, "--worker", str(i)],
+            _pin(i) + [sys.executable, here, "--worker", str(i)],
             env=env, stdout=subprocess.PIPE, stderr=subprocess.STDOUT, text=True,
         )
         for i in range(NPROC)

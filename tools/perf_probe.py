@@ -102,8 +102,10 @@ def main():
         powk = make_pow_kernel(FP24_SPEC, (spec.N + 1) >> 2, width)
         timeit(f"pallas sqrt pow w={width}", powk, vals_d)
 
-    if "msm" in stages or "msmp" in stages:
-        K = 24
+    if "msm" in stages or "msmp" in stages or "msmp5" in stages:
+        import os
+
+        K = int(os.environ.get("PROBE_MSM_K", "24"))
         pts = np.stack(
             [np.stack([jc.host_point_to_mont(rc.g1_mul(rc.G1_GEN, i + 2)) for i in range(K)])] * B
         )
@@ -111,18 +113,20 @@ def main():
         pts_d, scs_d = jax.device_put(pts, dev), jax.device_put(scs, dev)
         if "msm" in stages:
             timeit(f"msm K={K}", jc.msm, pts_d, scs_d)
-        if "msmp" in stages:
+        for stage, wbits in (("msmp", 4), ("msmp5", 5)):
+            if stage not in stages:
+                continue
             from plutus_halo2_tpu.ops import pallas_curve
             from plutus_halo2_tpu.refimpl.field import Q
 
-            pmsm = pallas_curve.make_msm_kernel(K)
-            out = timeit(f"pallas msm K={K}", pmsm, pts_d, scs_d)[0]
+            pmsm = pallas_curve.make_msm_kernel(K, wbits=wbits)
+            out = timeit(f"pallas msm K={K} w={wbits}", pmsm, pts_d, scs_d)[0]
             got = jc.host_point_from_mont(np.asarray(out)[0])
             exp = None
             for i in range(K):
                 exp = rc.g1_add(exp, rc.g1_mul(rc.g1_mul(rc.G1_GEN, i + 2), 12345 + i))
-            assert got == exp, "pallas msm wrong on TPU"
-            print("pallas msm result verified", flush=True)
+            assert got == exp, f"pallas msm (w={wbits}) wrong on TPU"
+            print(f"pallas msm w={wbits} result verified", flush=True)
 
     if "verify" in stages:
         from plutus_halo2_tpu.models.circuits import SimpleMulCircuit
@@ -141,6 +145,60 @@ def main():
         pis = jax.device_put(ver.encode_public_inputs([inputs] * B), dev)
         out = timeit("full verify", ver._verify_impl, proofs, pis)
         assert bool(out[0][0]), "verify probe rejected a valid proof"
+
+    if "core" in stages:
+        # everything except the pairing: transcript + challenges + scalar
+        # side + decompression (hinted) + multiopen MSM
+        from plutus_halo2_tpu.models.circuits import SimpleMulCircuit
+        from plutus_halo2_tpu.models.plan import FLAVOR_HALO2
+        from plutus_halo2_tpu.models.verifier_jax import JaxVerifier
+        from plutus_halo2_tpu.refimpl.keygen import keygen
+        from plutus_halo2_tpu.refimpl.prover import prove
+        from plutus_halo2_tpu.refimpl.srs import TrapdoorSRS
+
+        circuit = SimpleMulCircuit()
+        pk, plan = keygen(circuit, flavor=FLAVOR_HALO2, srs=TrapdoorSRS.from_seed(b"bench-srs"))
+        inputs = [42, 42, 42]
+        proof = np.frombuffer(prove(pk, plan, circuit, inputs, seed=b"probe"), dtype=np.uint8)
+        proofs_np = np.stack([proof] * B)
+        proofs = jax.device_put(proofs_np, dev)
+        ver = JaxVerifier(plan)
+        pis = jax.device_put(ver.encode_public_inputs([inputs] * B), dev)
+        hints = jax.device_put(ver.compute_y_hints(proofs_np), dev)
+
+        def reduced(fn):
+            # tiny outputs: a fetch of the full (B, 3, L) el/er pair skews
+            # the wall time by ~100 ms of tunnel transfer
+            def f(*a):
+                el, er, av = fn(*a)
+                return jnp.sum(el, dtype=jnp.uint32), jnp.sum(er, dtype=jnp.uint32), jnp.all(av)
+
+            return f
+
+        import jax.numpy as jnp
+
+        timeit("core (no pairing, hinted)", reduced(ver._core_impl), proofs, pis, hints)
+        timeit("core (no pairing, hintless)", reduced(ver._core_impl), proofs, pis)
+
+    if "verifyh" in stages:
+        from plutus_halo2_tpu.models.circuits import SimpleMulCircuit
+        from plutus_halo2_tpu.models.plan import FLAVOR_HALO2
+        from plutus_halo2_tpu.models.verifier_jax import JaxVerifier
+        from plutus_halo2_tpu.refimpl.keygen import keygen
+        from plutus_halo2_tpu.refimpl.prover import prove
+        from plutus_halo2_tpu.refimpl.srs import TrapdoorSRS
+
+        circuit = SimpleMulCircuit()
+        pk, plan = keygen(circuit, flavor=FLAVOR_HALO2, srs=TrapdoorSRS.from_seed(b"bench-srs"))
+        inputs = [42, 42, 42]
+        proof = np.frombuffer(prove(pk, plan, circuit, inputs, seed=b"probe"), dtype=np.uint8)
+        proofs_np = np.stack([proof] * B)
+        proofs = jax.device_put(proofs_np, dev)
+        ver = JaxVerifier(plan)
+        pis = jax.device_put(ver.encode_public_inputs([inputs] * B), dev)
+        hints = jax.device_put(ver.compute_y_hints(proofs_np), dev)
+        out = timeit("full verify (y-hints)", ver._verify_impl, proofs, pis, hints)
+        assert bool(out[0][0]), "hinted verify probe rejected a valid proof"
 
     if "pairing" in stages or "pairingp" in stages:
         from plutus_halo2_tpu.refimpl.field import Q, fr_inv
