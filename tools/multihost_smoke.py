@@ -32,7 +32,13 @@ import time
 PORT = int(os.environ.get("SMOKE_PORT", "52711"))
 NPROC = 2
 LOCAL_DEVICES = 4
-BATCH = 8  # global batch: one proof per device
+# Global batch: must be large enough that per-device work is DATA-dominated.
+# XLA:CPU walks the same ~10^4-op verifier graph regardless of shard size, so
+# with a tiny batch both legs pay identical graph-dispatch latency and the
+# measurement shows op-count overhead, not scaling (the round-2 artifact's
+# 0.446 "efficiency" at batch 8 was exactly this).
+BATCH = int(os.environ.get("SMOKE_BATCH", "128"))
+ITERS = int(os.environ.get("SMOKE_ITERS", "3"))
 
 
 def worker(pid: int, nproc: int, batch: int, out_path: str | None):
@@ -83,12 +89,17 @@ def worker(pid: int, nproc: int, batch: int, out_path: str | None):
     )
     from jax.experimental import multihost_utils
 
-    out = fn(proofs_g, pis_g)
-    t0 = time.time()
-    out = fn(proofs_g, pis_g)
-    local = np.asarray(multihost_utils.process_allgather(out, tiled=True))
-    dt = time.time() - t0
+    # warm + correctness fetch (off the clock)
+    local = np.asarray(
+        multihost_utils.process_allgather(fn(proofs_g, pis_g), tiled=True)
+    )
     assert local.tolist() == expected, f"verdicts wrong: {local.tolist()}"
+    # timed leg: ITERS chained dispatches, one final allgather forces the last
+    t0 = time.time()
+    for _ in range(ITERS):
+        out = fn(proofs_g, pis_g)
+    local = np.asarray(multihost_utils.process_allgather(out, tiled=True))
+    dt = (time.time() - t0) / ITERS
     if pid == 0:
         result = {"verdicts": local.tolist(), "steady_sec": dt}
         if out_path:
@@ -119,8 +130,10 @@ fn = jax.jit(verifier._verify_impl,
              out_shardings=sh)
 out = np.asarray(fn(proofs, pis))
 t0 = time.time()
-out = np.asarray(fn(proofs, pis))
-print(json.dumps({{"t": time.time() - t0}}))
+for _ in range({ITERS}):
+    out = fn(proofs, pis)
+np.asarray(out)
+print(json.dumps({{"t": (time.time() - t0) / {ITERS}}}))
 """
     env = _clean_env()
     out = subprocess.run(
