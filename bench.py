@@ -273,8 +273,20 @@ def run_once(batch: int, iters: int):
         row["regressed"] = row["vs_baseline"] < floor
     emit(row)
 
-    with open(os.path.join(os.path.dirname(__file__), "BENCH_DETAILS.json"), "w") as f:
-        json.dump(RESULTS, f, indent=1)
+    # merge-by-metric into the committed table: env-gated rows (BENCH_FULL /
+    # BENCH_ATMS) must not erase previously recorded rows they didn't re-run
+    details = os.path.join(os.path.dirname(__file__), "BENCH_DETAILS.json")
+    table = []
+    try:
+        with open(details) as f:
+            table = json.load(f)
+    except (OSError, ValueError):
+        pass
+    merged = {row["metric"]: row for row in table}
+    for row in RESULTS:
+        merged[row["metric"]] = row
+    with open(details, "w") as f:
+        json.dump(list(merged.values()), f, indent=1)
     if floor is not None and row["regressed"]:
         raise SystemExit(
             f"headline vs_baseline {row['vs_baseline']} below floor {floor}"
