@@ -62,7 +62,7 @@ def _time_pipelined(fn, iters):
 
 def _bench_circuit(circuit, flavor, inputs, batch, iters, metric, dev,
                    vs_baseline_of=None, n_proofs=4, seeds=None, y_hints=True,
-                   rlc_group=None, subgroup_check=False):
+                   rlc_group=None, subgroup="aggregate"):
     import jax
 
     from plutus_halo2_tpu.models.verifier_jax import JaxVerifier
@@ -83,7 +83,7 @@ def _bench_circuit(circuit, flavor, inputs, batch, iters, metric, dev,
     # a couple of deliberately corrupted rows keep the accept path honest
     proofs[1, 100] ^= 0x40
 
-    verifier = JaxVerifier(plan, subgroup_check=subgroup_check)
+    verifier = JaxVerifier(plan, subgroup_check=subgroup)
     pis = verifier.encode_public_inputs([inputs] * batch)
     proofs_d = jax.device_put(proofs, dev)
     pis_d = jax.device_put(pis, dev)
@@ -141,8 +141,7 @@ def _bench_circuit(circuit, flavor, inputs, batch, iters, metric, dev,
     if rlc_group is not None:
         row["mode"] = "rlc_batch_pairing_exact_verdicts"
         row["rlc_group"] = rlc_group
-    if subgroup_check:
-        row["subgroup_check"] = True
+    row["subgroup"] = subgroup
     if vs_baseline_of:
         row["vs_baseline"] = round(throughput / vs_baseline_of, 4)
     return row
@@ -205,7 +204,14 @@ def run_once(batch: int, iters: int):
             _bench_circuit(
                 SimpleMulCircuit(), FLAVOR_HALO2, [42, 42, 42], batch, iters,
                 "simple_mul_halo2_strict_subgroup_verifications_per_sec_per_chip",
-                dev, subgroup_check=True,
+                dev, subgroup="exact",
+            )
+        )
+        emit(
+            _bench_circuit(
+                SimpleMulCircuit(), FLAVOR_HALO2, [42, 42, 42], batch, iters,
+                "simple_mul_halo2_subgroup_off_verifications_per_sec_per_chip",
+                dev, subgroup="off",
             )
         )
         emit(
@@ -221,7 +227,11 @@ def run_once(batch: int, iters: int):
             )
         )
     if with_atms:
-        from plutus_halo2_tpu.models.atms import AtmsCircuit, prepare_test_signatures
+        from plutus_halo2_tpu.models.atms import (
+            AtmsCircuit,
+            AtmsLookupCircuit,
+            prepare_test_signatures,
+        )
 
         # the reference's benchmark scales (README.md:220-221): 50/90 default,
         # 228/408 via BENCH_ATMS_PARTIES/BENCH_ATMS_THRESHOLD
@@ -237,6 +247,33 @@ def run_once(batch: int, iters: int):
                 dev, n_proofs=1,
             )
         )
+        # the reference's 5th benchmark row (README.md:222, BASELINE config
+        # 5): ATMS + lookup argument at the same party scale
+        lk_circuit = AtmsLookupCircuit(pks, sigs, msg, threshold)
+        emit(
+            _bench_circuit(
+                lk_circuit, FLAVOR_HALO2, lk_circuit.public_inputs(), batch,
+                iters,
+                f"atms_with_lookups_{threshold}_{parties}_halo2_verifications_per_sec_per_chip",
+                dev, n_proofs=1,
+            )
+        )
+
+    if os.environ.get("BENCH_RLC_SWEEP", "0") == "1":
+        # RLC group-size sweep: with the staged programs, each sweep point
+        # compiles only its small aggregation MSM (the core program and the
+        # shared pairing program are reused across all points)
+        for g in (8, 16, 32):
+            if batch % g:
+                continue
+            emit(
+                _bench_circuit(
+                    SimpleMulCircuit(), FLAVOR_HALO2, [42, 42, 42], batch,
+                    iters,
+                    f"simple_mul_halo2_rlc_group{g}_verifications_per_sec_per_chip",
+                    dev, rlc_group=g,
+                )
+            )
 
     try:
         emit(_bench_msm(batch, max(1, iters - 1), dev))
@@ -260,8 +297,14 @@ def run_once(batch: int, iters: int):
     # group=8 keeps G = batch/group a lane multiple at batch 1024 so the
     # aggregation MSM and group pairing ride the Pallas kernels
     rlc_group = int(os.environ.get("BENCH_RLC_GROUP", "8"))
+    if rlc_group < 1:
+        print(f"# BENCH_RLC_GROUP={rlc_group} invalid; using 1", file=sys.stderr)
+        rlc_group = 1
     while batch % rlc_group:
-        rlc_group //= 2
+        rlc_group -= 1  # largest divisor <= requested (handles non-powers of 2)
+    if rlc_group != int(os.environ.get("BENCH_RLC_GROUP", "8")):
+        print(f"# BENCH_RLC_GROUP adjusted to {rlc_group} to divide batch "
+              f"{batch}", file=sys.stderr)
     row = _bench_circuit(
         SimpleMulCircuit(), FLAVOR_HALO2, [42, 42, 42], batch, iters,
         "simple_mul_halo2_verifications_per_sec_per_chip", dev,
@@ -282,6 +325,23 @@ def run_once(batch: int, iters: int):
             table = json.load(f)
     except (OSError, ValueError):
         pass
+    # provenance stamp: rows persisted across runs must be identifiable by
+    # the code revision and date that produced them (mixed-vintage guard)
+    import subprocess
+    from datetime import date
+
+    try:
+        commit = subprocess.run(
+            ["git", "rev-parse", "--short", "HEAD"],
+            cwd=os.path.dirname(__file__) or ".", capture_output=True,
+            text=True, timeout=10,
+        ).stdout.strip() or None
+    except Exception:  # noqa: BLE001 — no git in deployment images
+        commit = None
+    for row in RESULTS:
+        if commit:
+            row["commit"] = commit
+        row["date"] = date.today().isoformat()
     merged = {row["metric"]: row for row in table}
     for row in RESULTS:
         merged[row["metric"]] = row

@@ -51,6 +51,10 @@ def main():
 
     cls = AtmsLookupCircuit if with_lookups else AtmsCircuit
     name = "atms_with_lookups" if with_lookups else "atms"
+    if (n_parties, threshold) != (2, 1):
+        # non-default scale (e.g. the reference's 50/90 and 228/408 benchmark
+        # scales, README.md:220-221): keep the default artifacts intact
+        name = f"{name}_{threshold}_{n_parties}"
     print(f"circuit: {name}  flavor: {flavor}  parties: {n_parties}  threshold: {threshold}")
 
     pks, sigs, pks_comm = prepare_test_signatures(n_parties, threshold, msg)

@@ -135,15 +135,30 @@ class JaxVerifier:
     pure-XLA graph path is used. Both paths are bit-exact."""
 
     def __init__(self, plan: CircuitPlan, use_pallas: bool | None = None,
-                 subgroup_check: bool = False):
+                 subgroup_check: bool | str = "aggregate",
+                 subgroup_rounds: int = 2):
         if use_pallas is None:
             use_pallas = jax.default_backend() not in ("cpu",)
         self.use_pallas = use_pallas
-        # strict mode: reject proof points outside the q-order subgroup, the
-        # reference's bls12_381_G1_uncompress semantics (see ops/curve.py —
-        # the verification equation itself is cofactor-insensitive, so this
-        # only affects byte-level accept parity on adversarial encodings)
+        # Strict decompression semantics: the reference rejects proof points
+        # outside the q-order subgroup inside bls12_381_G1_uncompress
+        # (CIP-0381, bls_utils.ak:36-45). Modes:
+        #   "aggregate" (DEFAULT) — per-row random-weighted aggregate
+        #       membership test (ops/curve.aggregate_subgroup_check; Pallas
+        #       kernel on TPU). Exact for honest rows; adversarial
+        #       non-subgroup encodings evade with prob <= 3^-subgroup_rounds
+        #       per submission (the proof verdict itself is unaffected — the
+        #       verification equation is cofactor-insensitive).
+        #   "exact" / True — deterministic per-point endomorphism check
+        #       (~9x verify cost; full byte-level parity).
+        #   "off" / False — trust encodings to be subgroup members.
+        if subgroup_check is True:
+            subgroup_check = "exact"
+        if subgroup_check is False:
+            subgroup_check = "off"
+        assert subgroup_check in ("aggregate", "exact", "off")
         self.subgroup_check = subgroup_check
+        self.subgroup_rounds = subgroup_rounds
         self._pallas_cache = {}
         self.plan = plan
         self.layout = build_layout(plan)
@@ -233,6 +248,25 @@ class JaxVerifier:
             self._pallas_cache[key] = make_pairing_check(self.prep_sg2, self.prep_g2)
         return self._pallas_cache[key]
 
+    def _pallas_subgroup(self, K: int):
+        key = ("subgroup", K, self.subgroup_rounds)
+        if key not in self._pallas_cache:
+            from ..ops.pallas_curve import make_subgroup_kernel
+
+            self._pallas_cache[key] = make_subgroup_kernel(
+                K, rounds=self.subgroup_rounds
+            )
+        return self._pallas_cache[key]
+
+    def subgroup_weights(self, rng=None) -> np.ndarray | None:
+        """Fresh per-batch aggregation weights for the default "aggregate"
+        subgroup mode ((rounds, n_points) uint32), or None in other modes."""
+        if self.subgroup_check != "aggregate":
+            return None
+        return jc.subgroup_weights(
+            len(self.layout.point_offsets), self.subgroup_rounds, rng
+        )
+
     def _msm(self, B: int, pts_arr, coeff_arr):
         def base(p, s):
             if self._pallas_ok(B):
@@ -254,21 +288,77 @@ class JaxVerifier:
             [np.stack([FR_SPEC.encode(v % Q) for v in row]) for row in pis]
         ) if len(pis) else np.zeros((0, self.n_pi, FR_SPEC.L), np.uint32)
 
-    def verify(self, proof_bytes, public_inputs, y_hints=None):
+    # -- staged-program plumbing --------------------------------------------
+    # Compiled-program SIZE is the dominant cold/warm-start cost in this
+    # environment (STAGES.md size ledger: the Mosaic pairing payload alone is
+    # ~26 MB and the executable loads at ~240 KB/s through the device tunnel).
+    # verify()/verify_rlc() therefore run as a short PIPELINE of separately
+    # jitted programs instead of one monolith, so the expensive payloads are
+    # each compiled ONCE and shared across every call site:
+    #   core     proof bytes -> (el, er, all_valid)        [shared exact/RLC]
+    #   pair     fixed-width (PAIR_TILE) pairing check     [shared by exact
+    #            chunks, RLC group check, RLC re-check, host re-check]
+    #   agg/post/final  small RLC-only glue programs
+    # All dispatches are async; only the caller's fetch syncs, so the extra
+    # program boundaries pipeline away in steady state.
+
+    def _prog(self, name, fn, **static):
+        key = (name, tuple(sorted(static.items())))
+        if key not in self._jitted:
+            self._jitted[key] = jax.jit(partial(fn, **static) if static else fn)
+        return self._jitted[key]
+
+    def _pair_width(self, n: int) -> int:
+        """Width of the shared pairing program covering an n-row stage: the
+        Pallas lane tile on TPU (every lane-aligned call site chunks to it,
+        so ONE compiled program serves them all), n itself on the XLA path
+        (which also covers non-lane-aligned batches on TPU, as before)."""
+        from ..ops.pallas_curve import LANES
+
+        return LANES if (self.use_pallas and n % LANES == 0) else n
+
+    def _pair_staged(self, el, er):
+        """el/er (B, 3, L) -> list of per-chunk (W,) bool device arrays from
+        the shared fixed-width pairing program. B must be a multiple of the
+        pair width on the Pallas path (callers guarantee lane alignment)."""
+        B = el.shape[0]
+        W = self._pair_width(B)
+        prog = self._prog("pair", self._pairing_check)
+        if W == B:
+            return [prog(el, er)]
+        assert B % W == 0, f"batch {B} not a multiple of pair width {W}"
+        return [prog(el[s : s + W], er[s : s + W]) for s in range(0, B, W)]
+
+    @staticmethod
+    def _combine_impl(valid, *oks):
+        return jnp.concatenate(oks, axis=0) & valid
+
+    def verify(self, proof_bytes, public_inputs, y_hints=None, sub_rng=None):
         """y_hints: optional (B, n_points, L) canonical Fp limbs — UNTRUSTED
         candidate y-coordinates for every compressed proof point (see
         compute_y_hints). When supplied, decompression checks y^2 == x^3 + 4
         plus the sign bit (2 Fp muls per point) instead of running the
         379-step (p+1)/4 sqrt ladder the reference performs on-chain
         (CompressUncompress.hs:81-97). A wrong hint can only flip the verdict
-        to reject, never to accept, so hints need no trust."""
-        key = (proof_bytes.shape, public_inputs.shape,
-               None if y_hints is None else y_hints.shape)
-        if key not in self._jitted:
-            self._jitted[key] = jax.jit(self._verify_impl)
-        if y_hints is None:
-            return self._jitted[key](proof_bytes, public_inputs)
-        return self._jitted[key](proof_bytes, public_inputs, y_hints)
+        to reject, never to accept, so hints need no trust.
+
+        sub_rng: randomness source for the default aggregate subgroup check's
+        fresh per-batch weights (np.random.default_rng() when omitted)."""
+        el, er, all_valid = self._core_staged(
+            proof_bytes, public_inputs, y_hints, sub_rng
+        )
+        oks = self._pair_staged(el, er)
+        return self._prog("combine", self._combine_impl)(all_valid, *oks)
+
+    def _core_staged(self, proof_bytes, public_inputs, y_hints, sub_rng):
+        sw = self.subgroup_weights(sub_rng)
+        args = [proof_bytes, public_inputs]
+        kwargs = {}
+        if y_hints is not None:
+            kwargs["y_hints"] = y_hints
+        if sw is not None:
+            kwargs["sub_weights"] = sw
+        return self._prog("core", self._core_impl)(*args, **kwargs)
 
     # -- RLC batched pairing ------------------------------------------------
     def verify_rlc(self, proof_bytes, public_inputs, y_hints=None,
@@ -292,9 +382,10 @@ class JaxVerifier:
             rng = np.random.default_rng()
         weights = self.rlc_weights(B, rng)
         out = self.verify_rlc_device(
-            proof_bytes, public_inputs, weights, y_hints, group=group
+            proof_bytes, public_inputs, weights, y_hints, group=group,
+            sub_rng=rng,
         )
-        return self.rlc_finalize(*out, group=group)
+        return self.rlc_finalize(*out)
 
     def rlc_weights(self, B: int, rng=None) -> np.ndarray:
         """Fresh nonzero 128-bit RLC weights as (B, L) canonical Fr limbs."""
@@ -304,28 +395,56 @@ class JaxVerifier:
         return np.stack([FR_SPEC.encode(w) for w in w_ints])
 
     def verify_rlc_device(self, proof_bytes, public_inputs, weights,
-                          y_hints=None, *, group: int = 8):
-        """The jitted device-side leg of verify_rlc: returns
-        (verdicts, n_suspects, group_ok, all_valid, el, er) as device arrays.
-        `verdicts` is already exact whenever n_suspects <= the in-jit re-check
-        width (128); rlc_finalize handles the overflow. Split out so serving /
-        bench loops can pipeline dispatches without a host sync per batch."""
-        key = ("rlc", proof_bytes.shape, public_inputs.shape,
-               None if y_hints is None else y_hints.shape, group)
-        if key not in self._jitted:
-            self._jitted[key] = jax.jit(partial(self._rlc_impl, group=group))
-        args = (proof_bytes, public_inputs, weights) if y_hints is None else (
-            proof_bytes, public_inputs, weights, y_hints)
-        return self._jitted[key](*args)
+                          y_hints=None, *, group: int = 8, sub_rng=None):
+        """The device-side leg of verify_rlc: returns
+        (verdicts, n_suspects, group_ok, all_valid, el, er, R) where R is the
+        in-flight exact re-check width this call used. `verdicts` is already
+        exact whenever n_suspects <= R; rlc_finalize handles the overflow.
+        Runs as a pipeline of shared programs (see _pair_staged): the
+        Mosaic pairing payload is compiled ONCE and reused for both the
+        group-aggregate check and the suspect re-check, and the core program
+        is the same one exact verify() uses. All dispatches are async, so
+        serving / bench loops pipeline batches without a host sync."""
+        B = proof_bytes.shape[0]
+        el, er, all_valid = self._core_staged(
+            proof_bytes, public_inputs, y_hints, sub_rng
+        )
 
-    def rlc_finalize(self, verdicts, n_sus, group_ok, all_valid, el, er, *,
-                     group: int) -> np.ndarray:
+        # group aggregation (pads the group axis up to a lane multiple so the
+        # shared Pallas pairing program serves any group size — e.g. at
+        # batch 1024 group=16 gives G=64 aggregates, padded to one 128 tile)
+        from ..ops.pallas_curve import LANES
+
+        pallas = self._pallas_ok(B)
+        G = B // group
+        Wp = -(-G // LANES) * LANES if pallas else G
+        el_g, er_g = self._prog("agg", self._agg_impl, group=group, W=Wp)(
+            el, er, all_valid, weights
+        )
+        group_ok_p = jnp.concatenate(self._pair_staged(el_g, er_g), axis=0)
+
+        # suspect gather + bounded exact re-check through the SAME pairing
+        # program (padding slots carry the identity pair — trivially true)
+        R = min(self._RLC_RECHECK, B)
+        R = -(-R // LANES) * LANES if pallas else R  # pad to the pair width
+        verdicts0, n_sus, group_ok, idx_w, el_s, er_s = self._prog(
+            "rlc_post", self._post_impl, group=group, R=R
+        )(group_ok_p, all_valid, el, er)
+        row_ok = jnp.concatenate(self._pair_staged(el_s, er_s), axis=0)
+        verdicts = self._prog("rlc_final", self._final_impl)(
+            verdicts0, idx_w, row_ok
+        )
+        return verdicts, n_sus, group_ok, all_valid, el, er, R
+
+    def rlc_finalize(self, verdicts, n_sus, group_ok, all_valid, el, er,
+                     R: int) -> np.ndarray:
         """Host tail of verify_rlc: exact verdicts out. Only when more than
-        the in-jit width of rows sat in failing groups (mass-corruption /
-        adversarial flood) does this fall back to host-chunked exact
-        re-checks."""
+        R rows (the re-check width verify_rlc_device reported for this batch)
+        sat in failing groups (mass-corruption / adversarial flood) does this
+        fall back to host-chunked exact re-checks."""
         verdicts = np.asarray(verdicts)
-        if int(n_sus) > min(self._RLC_RECHECK, verdicts.shape[0]):
+        group = verdicts.shape[0] // np.asarray(group_ok).shape[0]
+        if int(n_sus) > R:
             group_ok = np.asarray(group_ok)
             all_valid = np.asarray(all_valid)
             verdicts = np.repeat(group_ok, group) & all_valid
@@ -333,30 +452,42 @@ class JaxVerifier:
             verdicts[suspects] = self._recheck_rows(el, er, suspects)
         return verdicts
 
-    _RLC_RECHECK = 128  # rows exactly re-checked inside the jitted program
+    _RLC_RECHECK = 128  # rows exactly re-checked in-flight per RLC batch
 
-    def _rlc_impl(self, proof, pis, weights, y_hints=None, *, group):
-        el, er, all_valid = self._core_impl(proof, pis, y_hints)
-        B = proof.shape[0]
+    def _agg_impl(self, el, er, all_valid, weights, *, group, W):
+        """Per-group RLC aggregation: (B, 3, L) pairing sides -> (W, 3, L)
+        aggregates (one per group, identity-padded up to the pair width W).
+        Rows with invalid encodings are already rejected; zeroing their weight
+        keeps them from failing their group-mates' aggregate. Zero-weight /
+        padding slots aggregate to the identity point, whose pairing check is
+        trivially true."""
+        B = el.shape[0]
         G = B // group
-        # rows with invalid encodings are already rejected; zero their weight
-        # so they cannot fail their group-mates' aggregate
         w = jnp.where(all_valid[:, None], weights, 0)
         el_g = el.reshape(G, group, 3, FP_SPEC.L)
         er_g = er.reshape(G, group, 3, FP_SPEC.L)
         w_g = w.reshape(G, group, FR_SPEC.L)
+        if W > G:
+            pad_p = jnp.broadcast_to(
+                jnp.asarray(jc.host_point_to_mont(None)),
+                (W - G, group, 3, FP_SPEC.L),
+            )
+            el_g = jnp.concatenate([el_g, pad_p], axis=0)
+            er_g = jnp.concatenate([er_g, pad_p], axis=0)
+            w_g = jnp.concatenate(
+                [w_g, jnp.zeros((W - G, group, FR_SPEC.L), jnp.uint32)], axis=0
+            )
         agg = lambda p: (  # noqa: E731
-            self._pallas_msm(group)(p, w_g) if self._pallas_ok(G) else jc.msm(p, w_g)
+            self._pallas_msm(group)(p, w_g) if self._pallas_ok(W) else jc.msm(p, w_g)
         )
-        group_ok = self._pairing_check(agg(el_g), agg(er_g))
+        return agg(el_g), agg(er_g)
 
-        # ---- in-jit bounded exact re-check --------------------------------
-        # Gather up to R rows belonging to failing groups and run ONE exact
-        # pairing tile over them (padding slots carry the identity pair, whose
-        # check is trivially true). Verdicts leave the device already exact
-        # for any batch with <= R suspect rows; beyond that (mass corruption)
-        # the host fallback in rlc_finalize takes over.
-        R = min(self._RLC_RECHECK, B)
+    def _post_impl(self, group_ok_p, all_valid, el, er, *, group, R):
+        """Gather up to R rows belonging to failing groups for the exact
+        re-check pairing (padding slots carry the identity pair)."""
+        B = el.shape[0]
+        G = B // group
+        group_ok = group_ok_p[:G]
         suspect = jnp.repeat(~group_ok, group) & all_valid
         n_sus = jnp.sum(suspect)
         idx = jnp.nonzero(suspect, size=R, fill_value=0)[0]
@@ -366,30 +497,25 @@ class JaxVerifier:
         )
         el_s = jnp.where(live[:, None, None], el[idx], ident)
         er_s = jnp.where(live[:, None, None], er[idx], ident)
-        row_ok = jax.lax.cond(
-            n_sus > 0,
-            lambda: self._pairing_check(el_s, er_s),
-            lambda: jnp.ones((R,), dtype=bool),
-        )
-        verdicts = jnp.repeat(group_ok, group) & all_valid
-        # padding slots scatter out-of-bounds and are dropped — they must not
-        # write (several of them alias index 0, and a stale verdicts[0] from
-        # a later padding slot would clobber row 0's fresh re-check result)
+        verdicts0 = jnp.repeat(group_ok, group) & all_valid
+        # padding slots must scatter out-of-bounds and be dropped — several
+        # of them alias index 0, and a stale verdicts[0] from a later padding
+        # slot would clobber row 0's fresh re-check result
         idx_w = jnp.where(live, idx, B)
-        verdicts = verdicts.at[idx_w].set(row_ok, mode="drop")
-        return verdicts, n_sus, group_ok, all_valid, el, er
+        return verdicts0, n_sus, group_ok, idx_w, el_s, er_s
+
+    @staticmethod
+    def _final_impl(verdicts0, idx_w, row_ok):
+        return verdicts0.at[idx_w].set(row_ok, mode="drop")
 
     def _recheck_rows(self, el, er, suspects) -> np.ndarray:
         """Exact per-row pairing checks for the suspect row indices; chunks
-        of LANES padded with the identity (whose check is trivially true)."""
-        from ..ops.pallas_curve import LANES
-
+        of the shared pair width padded with the identity (whose check is
+        trivially true)."""
         el, er = np.asarray(el), np.asarray(er)
         ident = np.asarray(jc.host_point_to_mont(None))
-        chunk = LANES if self.use_pallas else max(len(suspects), 1)
-        key = ("rows", chunk)
-        if key not in self._jitted:
-            self._jitted[key] = jax.jit(self._pairing_check)
+        chunk = self._pair_width(max(len(suspects), 1))
+        prog = self._prog("pair", self._pairing_check)
         out = np.zeros(len(suspects), dtype=bool)
         for s in range(0, len(suspects), chunk):
             idx = suspects[s : s + chunk]
@@ -397,9 +523,7 @@ class JaxVerifier:
             er_c = el_c.copy()
             el_c[: len(idx)] = el[idx]
             er_c[: len(idx)] = er[idx]
-            out[s : s + len(idx)] = np.asarray(
-                self._jitted[key](el_c, er_c)
-            )[: len(idx)]
+            out[s : s + len(idx)] = np.asarray(prog(el_c, er_c))[: len(idx)]
         return out
 
     def compute_y_hints(self, proof_bytes) -> np.ndarray:
@@ -447,8 +571,12 @@ class JaxVerifier:
         hi = ((l16 >> 8) & 0xFF).astype(jnp.uint8)
         return jnp.stack([lo, hi], axis=-1).reshape(*pi_limbs.shape[:-1], 32)
 
-    def _verify_impl(self, proof, pis, y_hints=None):
-        el, er, all_valid = self._core_impl(proof, pis, y_hints)
+    def _verify_impl(self, proof, pis, y_hints=None, sub_weights=None):
+        """Single-program form of verify() — used where ONE traceable function
+        is needed (shard_map / pjit multichip paths, the driver entry). The
+        staged verify() is the single-chip serving path (shared compiled
+        programs; see _pair_staged)."""
+        el, er, all_valid = self._core_impl(proof, pis, y_hints, sub_weights)
         return self._pairing_check(el, er) & all_valid
 
     def _pairing_check(self, el, er):
@@ -473,7 +601,7 @@ class JaxVerifier:
             ]
         )
 
-    def _core_impl(self, proof, pis, y_hints=None):
+    def _core_impl(self, proof, pis, y_hints=None, sub_weights=None):
         plan, lay, vk = self.plan, self.layout, self.plan.vk
         B = proof.shape[0]
         assert proof.shape[1] == lay.proof_len, (
@@ -529,8 +657,14 @@ class JaxVerifier:
             pts, pt_valid = jc.decompress(pt_raw, sqrt_fn=sqrt_fn)
         points = {n: pts[:, i] for i, n in enumerate(point_names)}
         all_valid = jnp.all(pt_valid, axis=-1)
-        if self.subgroup_check:
+        if self.subgroup_check == "exact":
             all_valid = all_valid & jnp.all(jc.subgroup_check(pts), axis=-1)
+        elif self.subgroup_check == "aggregate" and sub_weights is not None:
+            if self._pallas_ok(B):
+                ok = self._pallas_subgroup(len(point_names))(pts, sub_weights)
+            else:
+                ok = jc.aggregate_subgroup_check(pts, sub_weights)
+            all_valid = all_valid & ok
 
         # ---- scalar-side computation -------------------------------------
         x = ch["x"]

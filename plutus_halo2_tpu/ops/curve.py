@@ -298,6 +298,59 @@ def subgroup_check(p):
     return eq(phi_p, rhs) | is_identity(p)
 
 
+# -- aggregate (random-weighted) subgroup membership -------------------------
+# Checking every proof point exactly costs two 64-bit scalar ladders PER
+# POINT. The affordable batch form aggregates each row's points with fresh
+# random weights and endomorphism-tests ONLY the aggregate:
+#     Q = sum_i w_i P_i  in G1   (exact iff the cofactor components satisfy
+#     sum_i w_i c_i == 0 in Z_h, h = 3 * 11^2 * 10177^2 * 859267^2 *
+#     52437899^2 the G1 cofactor)
+# Honest rows ALWAYS pass (G1 is a subgroup); a row containing non-subgroup
+# points evades one aggregate with probability <= 1/3 over the verifier's
+# weights (uniform weights make sum w_i c_i uniform mod each prime factor of
+# h that the bad components touch; the worst case is order-3 components).
+# `rounds` independent aggregates drive adversarial evasion to <= 3^-rounds.
+# False accepts only affect byte-level accept parity with the reference's
+# bls12_381_G1_uncompress abort — the verification equation itself is
+# cofactor-insensitive (see note above) — and false rejects are impossible.
+
+SUBGROUP_WEIGHT_BITS = 16  # [1, 2^16) is exactly uniform mod 3 (the binding
+# factor: 65535 = 3 * 21845); evasion via a factor ell of h costs the
+# adversary P(ell | w) <= 1/ell per round anyway, and the two factors of h
+# above 2^16 (859267, 52437899) are caught deterministically for single bad
+# points because 0 < w < ell implies w * c != 0 mod ell. Short weights keep
+# the aggregation MSM at 4 signed 5-bit windows instead of 52.
+
+
+def subgroup_weights(n_points: int, rounds: int = 2, rng=None) -> np.ndarray:
+    """Fresh verifier-side aggregation weights: (rounds, n_points) uint32 in
+    [1, 2^SUBGROUP_WEIGHT_BITS). Shared across batch rows (each row's test is
+    marginally independent given the weights)."""
+    if rng is None:
+        rng = np.random.default_rng()
+    w = rng.integers(1, 1 << SUBGROUP_WEIGHT_BITS,
+                     size=(rounds, n_points), dtype=np.uint32)
+    return w
+
+
+def aggregate_subgroup_check(pts, weights):
+    """pts (B, K, 3, L) projective Montgomery, weights (rounds, K) uint32 ->
+    (B,) bool: per-row aggregate membership over all rounds. XLA path (the
+    Pallas kernel in ops/pallas_curve.make_subgroup_kernel is bit-identical)."""
+    rounds = weights.shape[0]
+    w16 = jnp.asarray(weights, jnp.uint32)
+    # lift the small weights into Fr limb format for the generic msm
+    w_limbs = jnp.zeros((*w16.shape, FR_SPEC.L), jnp.uint32)
+    w_limbs = w_limbs.at[..., 0].set(w16 & limb.MASK16)
+    w_limbs = w_limbs.at[..., 1].set(w16 >> 16)
+    ok = None
+    for r in range(rounds):
+        q = msm(pts, jnp.broadcast_to(w_limbs[r], (*pts.shape[:-2], FR_SPEC.L)))
+        ok_r = subgroup_check(q)
+        ok = ok_r if ok is None else (ok & ok_r)
+    return ok
+
+
 def is_on_curve(p):
     """y^2 z = x^3 + b z^3 (projective curve equation)."""
     X, Y, Z = pt_x(p), pt_y(p), pt_z(p)

@@ -151,19 +151,19 @@ def k_tree_reduce(F: KField, b3, t, k: int):
 # signed digit decomposition (XLA level, cheap uint32 work)
 # ---------------------------------------------------------------------------
 
-def n_windows(wbits: int) -> int:
-    """Signed-digit window count: ceil(256 / wbits). 256 (not 255) so the
-    top window's raw digit is small enough (<= 2^(wbits-1) - 1 for any
-    255-bit scalar) to absorb a signed-recoding carry without flipping —
+def n_windows(wbits: int, nbits: int = 256) -> int:
+    """Signed-digit window count: ceil(nbits / wbits) for an (nbits-1)-bit
+    scalar. The extra bit keeps the top window's raw digit small enough
+    (<= 2^(wbits-1) - 1) to absorb a signed-recoding carry without flipping —
     a 255-bit budget fails on e.g. q-1 whose top 5-bit digit is 28."""
-    return -(-256 // wbits)
+    return -(-nbits // wbits)
 
 
-def signed_digits_msb(scalars, wbits: int = 4):
-    """(..., L_fr) canonical Fr limbs -> (mags, negs) each (NW, ...), MSB
-    window first: scalar = sum_w d_w * 2^(wbits*(NW-1-w)) with
+def signed_digits_msb(scalars, wbits: int = 4, nbits: int = 256):
+    """(..., L) 16-bit limbs of (nbits-1)-bit scalars -> (mags, negs) each
+    (NW, ...), MSB window first: scalar = sum_w d_w * 2^(wbits*(NW-1-w)) with
     d_w = (-1)^negs * mags, mags <= 2^(wbits-1)."""
-    NW = n_windows(wbits)
+    NW = n_windows(wbits, nbits)
     l = scalars.astype(jnp.uint32)
     if wbits == 4:
         parts = jnp.stack([(l >> s) & 0xF for s in (0, 4, 8, 12)], axis=-1)
@@ -324,3 +324,193 @@ def make_msm_kernel(K: int, lanes: int = LANES, chunk: int = CHUNK,
         return fp25_from_fp24(jnp.moveaxis(out, -1, 0))  # (B, 3, 25)
 
     return msm
+
+
+# ---------------------------------------------------------------------------
+# aggregate subgroup-membership kernel (strict decompression semantics)
+# ---------------------------------------------------------------------------
+
+def make_subgroup_kernel(K: int, rounds: int = 2, lanes: int = LANES,
+                         chunk: int = CHUNK, interpret: bool = False,
+                         wbits: int = WBITS):
+    """Build check(points (B, K, 3, L25), weights (rounds, K) uint32) ->
+    (B,) bool: per-row random-weighted aggregate q-subgroup membership (the
+    affordable batch form of the reference's per-point
+    bls12_381_G1_uncompress subgroup check — soundness analysis in
+    ops/curve.aggregate_subgroup_check, bit-identical results).
+
+    Structure mirrors make_msm_kernel: per-chunk signed-window tables feed
+    rounds*NW window sums (NW = 4 for the 16-bit weights — the whole point
+    of short weights), then per round a shared doubling chain folds the sums
+    into the aggregate Q_r and ONE batched endomorphism test
+    phi(Q) == [z^2 - 1] Q (Bowe 2019 criterion, ops/curve.subgroup_check)
+    runs over the (rounds, ..., B) stack — 2 scalar ladders per ROW instead
+    of 2 per point."""
+    from ..refimpl.field import BLS_X
+    from .curve import _BETA_MONT
+    from .pallas_core import host_reencode24
+
+    L = FP24_SPEC.L
+    NBITS = 16 + 1  # weight bits + signed-recode carry bit
+    NW = n_windows(wbits, NBITS)
+    TENT = (1 << (wbits - 1)) + 1
+    n_chunks = -(-K // chunk)
+    Kp = n_chunks * chunk
+    RNW = rounds * NW
+    b3_col = FP24_SPEC.to_mont(12).reshape(-1, 1)
+    beta_col = host_reencode24(_BETA_MONT).reshape(-1, 1)
+    zbits = np.array([[int(c) for c in bin(BLS_X)[2:]]], dtype=np.int32)  # (1, 64)
+
+    def kernel(consts_ref, b3_ref, beta_ref, zbits_ref, points_ref, mags_ref,
+               negs_ref, out_ref, wsum_ref, table_ref):
+        F = kfp.bind(consts_ref[:, :], unroll_mul=not interpret)
+        b3 = b3_ref[:, :]
+        c = pl.program_id(1)
+
+        @pl.when(c == 0)
+        def _():
+            ident_w = k_identity(F, (RNW, lanes))
+            wsum_ref[:, :, :, :] = jnp.stack(ident_w, axis=1)
+
+        widx = jax.lax.broadcasted_iota(jnp.uint32, (chunk, TENT, 1, 1, lanes), 1)
+        pts = points_ref[:, :, :, :]  # (chunk, 3, L, B)
+        p0 = (pts[:, 0], pts[:, 1], pts[:, 2])
+        ident = k_identity(F, (chunk, lanes))
+        table_ref[:, 0] = jnp.stack(ident, axis=1)
+        table_ref[:, 1] = pts
+
+        def build(i, cur):
+            nxt = k_add(F, b3, cur, p0)
+            table_ref[:, pl.ds(i + 2, 1)] = jnp.stack(nxt, axis=1)[:, None]
+            return nxt
+
+        jax.lax.fori_loop(0, TENT - 2, build, p0)
+
+        def window_step(j, _):
+            mag = mags_ref[pl.ds(j, 1), :, :][0]  # (chunk, B)
+            neg = negs_ref[pl.ds(j, 1), :, :][0]
+            onehot = mag[:, None, None, None, :] == widx
+            table = table_ref[:, :, :, :, :]
+            sel = jnp.sum(
+                jnp.where(onehot, table, 0).astype(jnp.int32), axis=1
+            ).astype(jnp.uint32)
+            y = sel[:, 1]
+            y = jnp.where(neg[:, None, :].astype(bool), F.neg(y), y)
+            t = k_tree_reduce(F, b3, (sel[:, 0], y, sel[:, 2]), chunk)
+            prev = wsum_ref[pl.ds(j, 1)][0]
+            new = k_add(F, b3, (prev[0], prev[1], prev[2]), t)
+            wsum_ref[pl.ds(j, 1)] = jnp.stack(new, axis=0)[None]
+            return 0
+
+        jax.lax.fori_loop(0, RNW, window_step, 0)
+
+        @pl.when(c == n_chunks - 1)
+        def _():
+            # per-round doubling-chain fold -> aggregates Q (rounds, ., lanes)
+            # (static unroll over rounds — Mosaic has no dynamic_update_slice
+            # on values, and rounds is small)
+            qs = []
+            for r0 in range(rounds):
+                def final_step(j, acc, r0=r0):
+                    for _ in range(wbits):
+                        acc = k_double(F, b3, acc)
+                    w = wsum_ref[pl.ds(r0 * NW + j, 1)][0]
+                    return k_add(F, b3, acc, (w[0], w[1], w[2]))
+
+                qs.append(
+                    jax.lax.fori_loop(0, NW, final_step, k_identity(F, (lanes,)))
+                )
+            Q = tuple(
+                jnp.stack([q[coord] for q in qs], axis=0) for coord in range(3)
+            )
+
+            # endomorphism membership test on the aggregates, all rounds at
+            # once: phi(Q) == [z^2] Q - Q  (sign of z squares away)
+            def zmul(p):
+                def body(i, acc):
+                    acc = k_double(F, b3, acc)
+                    return jax.lax.cond(
+                        zbits_ref[0, i] != 0,
+                        lambda a: k_add(F, b3, a, p),
+                        lambda a: a,
+                        acc,
+                    )
+
+                return jax.lax.fori_loop(0, 64, body, k_identity(F, (rounds, lanes)))
+
+            t = zmul(zmul(Q))
+            rhs = k_add(F, b3, t, (Q[0], F.neg(Q[1]), Q[2]))
+            phi_x = F.mont_mul(Q[0], beta_ref[:, :])
+            x1z2 = F.mont_mul(phi_x, rhs[2])
+            x2z1 = F.mont_mul(rhs[0], Q[2])
+            y1z2 = F.mont_mul(Q[1], rhs[2])
+            y2z1 = F.mont_mul(rhs[1], Q[2])
+            q_inf = F.is_zero(Q[2])  # (rounds, B)
+            r_inf = F.is_zero(rhs[2])
+            fin = (
+                F.eq(x1z2, x2z1) & F.eq(y1z2, y2z1) & ~q_inf & ~r_inf
+            )
+            ok_r = fin | q_inf  # identity aggregate: member
+            bad = jnp.sum((~ok_r).astype(jnp.int32), axis=0)  # (B,)
+            out_ref[:, :] = (bad == 0)[None].astype(jnp.uint32)
+
+    def check(points, weights):
+        B = points.shape[0]
+        assert B % lanes == 0, f"batch {B} must be a multiple of {lanes}"
+        assert points.shape[1] == K
+        nbt = B // lanes
+        points = fp24_from_fp25(points)
+        if Kp != K:
+            pad_pts = jnp.zeros((B, Kp - K, 3, L), dtype=jnp.uint32)
+            points = jnp.concatenate([points, pad_pts], axis=1)
+        pts_k = jnp.moveaxis(points, 0, -1)  # (Kp, 3, L, B)
+
+        # 16-bit weights -> (RNW, Kp) signed digit planes, lane-broadcast
+        w = jnp.asarray(weights, jnp.uint32)
+        w_limbs = jnp.stack([w & 0xFFFF, (w >> 16) & 0xFFFF], axis=-1)
+        mags, negs = signed_digits_msb(w_limbs, wbits, nbits=NBITS)
+        # (NW, rounds, K) -> (rounds*NW, Kp): round-major like the window loop
+        mags = jnp.moveaxis(mags, 0, 1).reshape(rounds * NW, K)
+        negs = jnp.moveaxis(negs, 0, 1).reshape(rounds * NW, K)
+        if Kp != K:
+            zpad = jnp.zeros((RNW, Kp - K), jnp.uint32)
+            mags = jnp.concatenate([mags.astype(jnp.uint32), zpad], axis=1)
+            negs = jnp.concatenate([negs.astype(jnp.uint32), zpad], axis=1)
+        mags = jnp.broadcast_to(mags.astype(jnp.uint32)[:, :, None], (RNW, Kp, B))
+        negs = jnp.broadcast_to(negs.astype(jnp.uint32)[:, :, None], (RNW, Kp, B))
+
+        ok = pl.pallas_call(
+            kernel,
+            grid=(nbt, n_chunks),
+            in_specs=[
+                pl.BlockSpec((6, L + 1), lambda b, c: (0, 0), memory_space=pltpu.VMEM),
+                pl.BlockSpec((L, 1), lambda b, c: (0, 0), memory_space=pltpu.VMEM),
+                pl.BlockSpec((L, 1), lambda b, c: (0, 0), memory_space=pltpu.VMEM),
+                pl.BlockSpec(memory_space=pltpu.SMEM),
+                pl.BlockSpec(
+                    (chunk, 3, L, lanes), lambda b, c: (c, 0, 0, b), memory_space=pltpu.VMEM
+                ),
+                pl.BlockSpec(
+                    (RNW, chunk, lanes), lambda b, c: (0, c, b), memory_space=pltpu.VMEM
+                ),
+                pl.BlockSpec(
+                    (RNW, chunk, lanes), lambda b, c: (0, c, b), memory_space=pltpu.VMEM
+                ),
+            ],
+            out_specs=pl.BlockSpec(
+                (1, lanes), lambda b, c: (0, b), memory_space=pltpu.VMEM
+            ),
+            out_shape=jax.ShapeDtypeStruct((1, B), jnp.uint32),
+            scratch_shapes=[
+                pltpu.VMEM((RNW, 3, L, lanes), jnp.uint32),  # window sums
+                pltpu.VMEM((chunk, TENT, 3, L, lanes), jnp.uint32),  # chunk table
+            ],
+            compiler_params=pltpu.CompilerParams(
+                vmem_limit_bytes=100 * 1024 * 1024,
+                dimension_semantics=("arbitrary", "arbitrary"),
+            ),
+            interpret=interpret,
+        )(kfp.const_args(), b3_col, beta_col, zbits, pts_k, mags, negs)
+        return ok[0].astype(bool)
+
+    return check

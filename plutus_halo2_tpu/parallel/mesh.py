@@ -100,24 +100,33 @@ def shard_batch(mesh: Mesh, *arrays, axis_name="batch"):
 
 
 def data_parallel_verify(verifier, mesh: Mesh, proof_bytes, public_inputs,
-                         axis_name="batch"):
+                         axis_name="batch", sub_rng=None):
     """Batch-DP verification: shard the proof batch over the mesh; XLA runs
     the identical per-shard program with no cross-device communication (the
-    verdict stays sharded; gather is the caller's choice)."""
+    verdict stays sharded; gather is the caller's choice). In the default
+    aggregate subgroup mode the fresh per-batch weights are replicated."""
     proof_s, pis_s = shard_batch(mesh, proof_bytes, public_inputs, axis_name=axis_name)
+    in_sh = [
+        NamedSharding(mesh, P(axis_name, None)),
+        NamedSharding(mesh, P(axis_name, None, None)),
+    ]
+    args = [proof_s, pis_s]
+    sw = verifier.subgroup_weights(sub_rng)
+    if sw is not None:
+        in_sh.append(NamedSharding(mesh, P()))  # replicated
+        args.append(jax.device_put(sw, in_sh[-1]))
     fn = jax.jit(
-        verifier._verify_impl,
-        in_shardings=(
-            NamedSharding(mesh, P(axis_name, None)),
-            NamedSharding(mesh, P(axis_name, None, None)),
+        lambda p, i, *rest: verifier._verify_impl(
+            p, i, sub_weights=rest[0] if rest else None
         ),
+        in_shardings=tuple(in_sh),
         out_shardings=NamedSharding(mesh, P(axis_name)),
     )
-    return fn(proof_s, pis_s)
+    return fn(*args)
 
 
 def verify_2d(verifier, mesh: Mesh, proof_bytes, public_inputs,
-              dp_axis: str = "dp", mp_axis: str = "mp"):
+              dp_axis: str = "dp", mp_axis: str = "mp", sub_rng=None):
     """Two-axis verification: the proof batch shards over `dp_axis` while each
     dp group's MSMs shard their point axis over `mp_axis` (the verifier's
     _msm splits its terms by mp rank and reduces with an all_gather +
@@ -126,25 +135,31 @@ def verify_2d(verifier, mesh: Mesh, proof_bytes, public_inputs,
     the mp axis buys near-linear MSM speedup on ICI."""
     prev = verifier.msm_axis_name
     verifier.msm_axis_name = mp_axis
+    sw = verifier.subgroup_weights(sub_rng)
 
-    def local(proofs_l, pis_l):
-        return verifier._verify_impl(proofs_l, pis_l)
+    def local(proofs_l, pis_l, *rest):
+        return verifier._verify_impl(
+            proofs_l, pis_l, sub_weights=rest[0] if rest else None
+        )
+
+    in_specs = [P(dp_axis, None), P(dp_axis, None, None)]
+    args = [
+        jax.device_put(proof_bytes, NamedSharding(mesh, P(dp_axis, None))),
+        jax.device_put(public_inputs, NamedSharding(mesh, P(dp_axis, None, None))),
+    ]
+    if sw is not None:
+        in_specs.append(P(None, None))  # replicated weights
+        args.append(jax.device_put(sw, NamedSharding(mesh, P())))
 
     try:
         fn = shard_map(
             local,
             mesh=mesh,
-            in_specs=(P(dp_axis, None), P(dp_axis, None, None)),
+            in_specs=tuple(in_specs),
             out_specs=P(dp_axis),
             check_rep=False,
         )
-        proofs_s = jax.device_put(
-            proof_bytes, NamedSharding(mesh, P(dp_axis, None))
-        )
-        pis_s = jax.device_put(
-            public_inputs, NamedSharding(mesh, P(dp_axis, None, None))
-        )
-        return jax.jit(fn)(proofs_s, pis_s)
+        return jax.jit(fn)(*args)
     finally:
         verifier.msm_axis_name = prev
 

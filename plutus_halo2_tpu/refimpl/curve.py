@@ -249,7 +249,24 @@ def g1_neg(p):
 
 
 def g1_mul(p, k: int):
+    """Scalar multiplication with the Plutus builtin's semantics
+    (bls12_381_G1_scalarMul reduces the scalar mod the G1 order q). Correct
+    for G1 members; for raw E(Fp) points with cofactor components use
+    g1_mul_unreduced / g1_in_subgroup."""
     return _mul(_FP_OPS, p, k % Q)
+
+
+def g1_mul_unreduced(p, k: int):
+    """[k]P on E(Fp) WITHOUT reducing k mod q — needed when p may lie outside
+    the q-order subgroup (the reduced form silently maps [q]P to the identity
+    for EVERY point, hiding cofactor components)."""
+    return _mul(_FP_OPS, p, k)
+
+
+def g1_in_subgroup(p) -> bool:
+    """Exact q-order subgroup membership of an E(Fp) point: [q]P == O with an
+    unreduced ladder (identity is a member)."""
+    return p is None or g1_mul_unreduced(p, Q) is None
 
 
 def g1_msm(scalars, points):

@@ -193,16 +193,17 @@ def test_strict_subgroup_mode_e2e():
             raw = (x, y)
             break
         x += 1
-    # confirm it is outside G1 (else the test would be vacuous)
-    assert rc.g1_mul(raw, rc.Q_ORDER if hasattr(rc, "Q_ORDER") else __import__(
-        "plutus_halo2_tpu.refimpl.field", fromlist=["Q"]).Q) is not None
+    # confirm it is outside G1 (else the test would be vacuous) — NB the
+    # unreduced ladder: g1_mul reduces mod q (builtin semantics) and would
+    # report EVERY point as q-torsion
+    assert not rc.g1_in_subgroup(raw)
     enc = np.frombuffer(rc.g1_compress(raw), dtype=np.uint8)
 
     evil = np.stack([proof, proof])
     evil[1, 0:48] = enc  # first advice commitment -> non-subgroup point
 
     pis_rows = [inputs, inputs]
-    strict = JaxVerifier(plan, subgroup_check=True)
+    strict = JaxVerifier(plan, subgroup_check="exact")
     pis = strict.encode_public_inputs(pis_rows)
     out_strict = np.asarray(strict.verify(evil, pis))
     assert out_strict[0] and not out_strict[1]
@@ -212,6 +213,126 @@ def test_strict_subgroup_mode_e2e():
     out_h = np.asarray(strict.verify(evil, pis, hints))
     assert out_h.tolist() == out_strict.tolist()
 
-    lax = JaxVerifier(plan, subgroup_check=False)
+    # the DEFAULT (aggregate) mode also rejects the adversarial encoding: the
+    # random-weighted aggregate leaves the q-subgroup when a row contains
+    # nonzero h-torsion (seeded rng -> deterministic here; a generic cofactor
+    # component is caught except with prob <= 1/3 per round, ops/curve.py)
+    agg = JaxVerifier(plan)  # subgroup_check defaults to "aggregate"
+    out_agg = np.asarray(agg.verify(evil, pis, sub_rng=np.random.default_rng(3)))
+    assert out_agg[0] and not out_agg[1]
+
+    lax = JaxVerifier(plan, subgroup_check="off")
     out_lax = np.asarray(lax.verify(evil, pis))
     assert out_lax[0] and not out_lax[1]
+
+
+def _nonsubgroup_point():
+    """A valid E(Fp) point with nonzero h-torsion (outside G1)."""
+    from plutus_halo2_tpu.refimpl import curve as rc
+    from plutus_halo2_tpu.refimpl.field import P as FP
+
+    x = 100
+    while True:
+        rhs = (x**3 + 4) % FP
+        y = pow(rhs, (FP + 1) >> 2, FP)
+        if y * y % FP == rhs and not rc.g1_in_subgroup((x, y)):
+            return (x, y)
+        x += 1
+
+
+def test_aggregate_subgroup_check_unit():
+    """ops/curve.aggregate_subgroup_check on crafted rows: honest G1 points
+    (incl. the identity) pass, any row containing a non-subgroup point fails
+    with h-torsion of generic order, and the Pallas kernel (interpret mode)
+    is bit-identical to the XLA path."""
+    from plutus_halo2_tpu.ops import curve as jc
+    from plutus_halo2_tpu.ops.pallas_curve import make_subgroup_kernel
+    from plutus_halo2_tpu.refimpl import curve as rc
+
+    evil = _nonsubgroup_point()
+    g = [rc.g1_mul(rc.G1_GEN, 3 + i) for i in range(3)]
+    rows = [
+        [g[0], g[1], g[2], None],       # honest, with identity
+        [g[0], evil, g[2], g[1]],       # non-subgroup member
+        [None, None, None, None],       # all-identity row
+        [evil, evil, g[1], g[0]],       # two bad points
+    ]
+    pts = np.stack(
+        [np.stack([jc.host_point_to_mont(p) for p in row]) for row in rows]
+    )
+    w = jc.subgroup_weights(4, rounds=2, rng=np.random.default_rng(11))
+    out = np.asarray(jc.aggregate_subgroup_check(pts, w))
+    assert out.tolist() == [True, False, True, False]
+
+    # Pallas kernel parity (interpret mode, lane-padded batch)
+    B = 128
+    pts_b = np.broadcast_to(pts[:, None], (4, B // 4, 4, 3, pts.shape[-1])).reshape(
+        B, 4, 3, pts.shape[-1]
+    )
+    kern = make_subgroup_kernel(4, rounds=2, interpret=True)
+    import jax
+
+    out_k = np.asarray(jax.jit(kern)(pts_b, w))
+    assert out_k.reshape(4, B // 4).tolist() == [
+        [v] * (B // 4) for v in [True, False, True, False]
+    ]
+
+
+@pytest.mark.slow
+@pytest.mark.parametrize("flavor", [FLAVOR_HALO2, FLAVOR_GWC])
+def test_jax_verifier_lookup_circuit(flavor):
+    """Device-graph coverage for the lookup-argument verifier path (the
+    lookup com_terms / lookup_evals wiring of verifier_jax, both flavors):
+    accept + byte-flip reject through the full jitted pipeline on CPU."""
+    from plutus_halo2_tpu.models.circuits import LookupRangeCircuit
+
+    circuit = LookupRangeCircuit(values=(3, 9, 14), bits=4)
+    inputs = [7]
+    pk, plan = keygen(circuit, flavor=flavor, srs=SRS)
+    proof = np.frombuffer(prove(pk, plan, circuit, inputs), dtype=np.uint8)
+    bad = proof.copy()
+    bad[48 * 2 + 2] ^= 0x40
+    verifier = JaxVerifier(plan)
+    batch = np.stack([proof, bad])
+    pis = verifier.encode_public_inputs([inputs, inputs])
+    hints = verifier.compute_y_hints(batch)
+    out = np.asarray(verifier.verify(batch, pis, hints))
+    assert out.tolist() == [True, False], f"lookup device path wrong ({flavor})"
+
+
+@pytest.mark.slow
+def test_jax_verifier_atms_small():
+    """Device-graph coverage for the ATMS (native main-gate, big-MSM) path:
+    accept + reject through the full jitted pipeline on CPU, small party
+    count to keep native proving fast."""
+    from plutus_halo2_tpu.models.atms import AtmsCircuit, prepare_test_signatures
+
+    msg = 424242
+    pks, sigs, _comm = prepare_test_signatures(2, 1, msg, seed=b"jv-atms")
+    circuit = AtmsCircuit(pks, sigs, msg, 1)
+    pk, plan = keygen(circuit, flavor=FLAVOR_HALO2, srs=SRS)
+    inputs = circuit.public_inputs()
+    proof = np.frombuffer(prove(pk, plan, circuit, inputs), dtype=np.uint8)
+    bad = proof.copy()
+    bad[48 * 2 + 2] ^= 0x40
+    verifier = JaxVerifier(plan)
+    batch = np.stack([proof, bad])
+    pis = verifier.encode_public_inputs([inputs, inputs])
+    out = np.asarray(verifier.verify(batch, pis, verifier.compute_y_hints(batch)))
+    assert out.tolist() == [True, False]
+
+
+@pytest.mark.slow
+def test_verify_rlc_gwc_flavor():
+    """RLC batch-pairing mode on a GWC19 plan (two MSMs feed the pairing
+    sides) — previously exercised only on the halo2 flavor."""
+    circuit, pk, plan = _simple_mul(FLAVOR_GWC)
+    inputs = [42, 42, 42]
+    proof = np.frombuffer(prove(pk, plan, circuit, inputs), dtype=np.uint8)
+    B, group = 4, 2
+    proofs = np.stack([proof] * B)
+    proofs[2, 100] ^= 0x40
+    verifier = JaxVerifier(plan)
+    pis = verifier.encode_public_inputs([inputs] * B)
+    out = verifier.verify_rlc(proofs, pis, group=group, rng=np.random.default_rng(9))
+    assert out.tolist() == [True, True, False, True]

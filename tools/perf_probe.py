@@ -180,6 +180,24 @@ def main():
         timeit("core (no pairing, hinted)", reduced(ver._core_impl), proofs, pis, hints)
         timeit("core (no pairing, hintless)", reduced(ver._core_impl), proofs, pis)
 
+    if "subk" in stages:
+        # the aggregate subgroup kernel (default strict mode), K=16 rounds=2
+        import os
+
+        from plutus_halo2_tpu.ops import pallas_curve as pc
+
+        Ks = int(os.environ.get("PROBE_SUB_K", "16"))
+        rounds = int(os.environ.get("PROBE_SUB_ROUNDS", "2"))
+        pts = np.stack(
+            [np.stack([jc.host_point_to_mont(rc.g1_mul(rc.G1_GEN, i + 2))
+                       for i in range(Ks)])] * B
+        )
+        w = jc.subgroup_weights(Ks, rounds, np.random.default_rng(1))
+        subk = pc.make_subgroup_kernel(Ks, rounds=rounds)
+        out = timeit(f"pallas subgroup K={Ks} r={rounds}", subk,
+                     jax.device_put(pts, dev), w)[0]
+        assert bool(np.asarray(out)[0]), "honest subgroup row rejected"
+
     if "verifyh" in stages:
         from plutus_halo2_tpu.models.circuits import SimpleMulCircuit
         from plutus_halo2_tpu.models.plan import FLAVOR_HALO2

@@ -46,10 +46,13 @@ def cache_delta(before):
     return now, sum(new.values())
 
 
-def report(name, fn, *args):
+def report(name, fn, *args, jit=True):
+    """jit=False: fn is already a pipeline of jitted programs (the staged
+    verifier paths) — call it directly so the probe measures the MARGINAL
+    programs it compiles, not a monolithic re-trace."""
     before, _ = cache_delta({})
     t0 = time.time()
-    out = jax.jit(fn)(*args)
+    out = (jax.jit(fn) if jit else fn)(*args)
     _ = [np.asarray(x) for x in jax.tree.leaves(out)]
     dt = time.time() - t0
     _, nbytes = cache_delta(before)
@@ -126,18 +129,25 @@ def main():
 
         report("core (hinted)", reduced, proofs, pis, hints)
 
+    # the staged paths (jit=False): each row reports the MARGINAL programs it
+    # compiles on top of the rows above it — the pairing payload and the core
+    # program are shared, so "rlc" should be small once "verifyh" has run
     if "verify" in STAGES:
-        report("verify (hintless)", ver._verify_impl, proofs, pis)
+        report("verify (hintless)", ver.verify, proofs, pis, jit=False)
 
     if "verifyh" in STAGES:
-        report("verify (hinted)", ver._verify_impl, proofs, pis, hints)
+        report("verify (hinted)", ver.verify, proofs, pis, hints, jit=False)
 
     if "rlc" in STAGES:
-        from functools import partial
-
         w = jax.device_put(ver.rlc_weights(BATCH, np.random.default_rng(1)), dev)
-        report("rlc group=8 (hinted)", partial(ver._rlc_impl, group=8),
-               proofs, pis, w, hints)
+        report("rlc group=8 (hinted)",
+               lambda *a: ver.verify_rlc_device(*a, group=8)[0],
+               proofs, pis, w, hints, jit=False)
+
+    if "monolith" in STAGES:
+        # the single-program form shard_map/multichip uses (pairing payload
+        # embedded inline) — kept for comparison with the staged rows
+        report("monolithic verify", ver._verify_impl, proofs, pis, hints)
 
 
 if __name__ == "__main__":
