@@ -477,10 +477,14 @@ class JaxVerifier:
             w_g = jnp.concatenate(
                 [w_g, jnp.zeros((W - G, group, FR_SPEC.L), jnp.uint32)], axis=0
             )
-        agg = lambda p: (  # noqa: E731
-            self._pallas_msm(group)(p, w_g) if self._pallas_ok(W) else jc.msm(p, w_g)
-        )
-        return agg(el_g), agg(er_g)
+        # ONE MSM call aggregates both pairing sides: el/er groups stack on
+        # the batch axis (2W is still a lane multiple), halving dispatches
+        both = jnp.concatenate([el_g, er_g], axis=0)
+        w2 = jnp.concatenate([w_g, w_g], axis=0)
+        agg = (
+            self._pallas_msm(group) if self._pallas_ok(2 * W) else jc.msm
+        )(both, w2)
+        return agg[:W], agg[W:]
 
     def _post_impl(self, group_ok_p, all_valid, el, er, *, group, R):
         """Gather up to R rows belonging to failing groups for the exact

@@ -332,7 +332,7 @@ def make_msm_kernel(K: int, lanes: int = LANES, chunk: int = CHUNK,
 
 def make_subgroup_kernel(K: int, rounds: int = 2, lanes: int = LANES,
                          chunk: int = CHUNK, interpret: bool = False,
-                         wbits: int = WBITS):
+                         wbits: int = 3):
     """Build check(points (B, K, 3, L25), weights (rounds, K) uint32) ->
     (B,) bool: per-row random-weighted aggregate q-subgroup membership (the
     affordable batch form of the reference's per-point
@@ -340,8 +340,12 @@ def make_subgroup_kernel(K: int, rounds: int = 2, lanes: int = LANES,
     ops/curve.aggregate_subgroup_check, bit-identical results).
 
     Structure mirrors make_msm_kernel: per-chunk signed-window tables feed
-    rounds*NW window sums (NW = 4 for the 16-bit weights — the whole point
-    of short weights), then per round a shared doubling chain folds the sums
+    rounds*NW window sums (NW = 6 for the 16-bit weights — the whole point
+    of short weights). wbits=3 rebalances table-build vs window-step cost
+    for SHORT scalars: the 5-entry table costs 3 adds/chunk vs 15 at
+    wbits=5, and the narrow one-hot select moves 5/17ths of the VMEM
+    traffic — the opposite trade from the 255-bit MSM where window count
+    dominates. Then per round a shared doubling chain folds the sums
     into the aggregate Q_r and ONE batched endomorphism test
     phi(Q) == [z^2 - 1] Q (Bowe 2019 criterion, ops/curve.subgroup_check)
     runs over the (rounds, ..., B) stack — 2 scalar ladders per ROW instead

@@ -89,10 +89,19 @@ def worker(pid: int, nproc: int, batch: int, out_path: str | None):
     )
     from jax.experimental import multihost_utils
 
+    # Compile explicitly and BARRIER before the first gloo collective: the
+    # gloo context init has a hard 30 s rendezvous window, and per-process
+    # XLA compile skew (minutes on one pinned core when the persistent cache
+    # is cold) blows it. After the barrier both processes hit the first
+    # collective within milliseconds.
+    compiled = fn.lower(proofs_g, pis_g).compile()
+    multihost_utils.sync_global_devices("smoke-compiled")
+
     # warm + correctness fetch (off the clock)
     local = np.asarray(
-        multihost_utils.process_allgather(fn(proofs_g, pis_g), tiled=True)
+        multihost_utils.process_allgather(compiled(proofs_g, pis_g), tiled=True)
     )
+    fn = compiled
     assert local.tolist() == expected, f"verdicts wrong: {local.tolist()}"
     # timed leg: ITERS chained dispatches, one final allgather forces the last
     t0 = time.time()
@@ -138,7 +147,7 @@ print(json.dumps({{"t": (time.time() - t0) / {ITERS}}}))
     env = _clean_env()
     out = subprocess.run(
         _pin(0) + [sys.executable, "-c", code], capture_output=True, text=True,
-        env=env, timeout=1800,
+        env=env, timeout=int(os.environ.get('SMOKE_TIMEOUT', '4200')),
     )
     if out.returncode != 0:
         raise RuntimeError(f"baseline failed: {out.stderr[-2000:]}")
@@ -185,7 +194,7 @@ def main():
     outs = []
     ok = True
     for i, p in enumerate(procs):
-        out, _ = p.communicate(timeout=1800)
+        out, _ = p.communicate(timeout=int(os.environ.get('SMOKE_TIMEOUT', '4200')))
         outs.append(out)
         ok &= p.returncode == 0
         print(f"--- worker {i} (rc={p.returncode}) ---\n{out[-1500:]}")
