@@ -248,6 +248,16 @@ class JaxVerifier:
             self._pallas_cache[key] = make_pairing_check(self.prep_sg2, self.prep_g2)
         return self._pallas_cache[key]
 
+    def _pallas_transcript(self):
+        key = ("transcript",)
+        if key not in self._pallas_cache:
+            from ..ops.pallas_blake import make_transcript_kernel
+
+            self._pallas_cache[key] = make_transcript_kernel(
+                [mlen for _name, mlen in self.layout.squeezes]
+            )
+        return self._pallas_cache[key]
+
     def _pallas_subgroup(self, K: int):
         key = ("subgroup", K, self.subgroup_rounds)
         if key not in self._pallas_cache:
@@ -568,6 +578,19 @@ class JaxVerifier:
         m2 = self._fr_from_le_bytes(h2)
         return fr.add(m1, fr.mul(m2, jnp.asarray(self.r256_mont)))
 
+    def _fr_from_words(self, w):
+        """(..., 8) uint32 LE64 digest words -> Fr Montgomery (same value as
+        _fr_from_le_bytes on the 32-byte digest)."""
+        l16 = jnp.stack([w & 0xFFFF, w >> 16], axis=-1).reshape(*w.shape[:-1], 16)
+        limbs = jnp.concatenate([l16, jnp.zeros_like(l16[..., :1])], axis=-1)
+        return fr.to_mont(limbs)
+
+    def _challenge_from_words(self, w1, w2):
+        return fr.add(
+            self._fr_from_words(w1),
+            fr.mul(self._fr_from_words(w2), jnp.asarray(self.r256_mont)),
+        )
+
     def _pi_bytes(self, pi_limbs):
         """(..., L) canonical Fr limbs -> (..., 32) LE bytes."""
         l16 = pi_limbs[..., :16]
@@ -622,15 +645,24 @@ class JaxVerifier:
 
         # all squeezes hash nested prefixes of the one transcript buffer:
         # chain the shared full blocks once, one final compression per squeeze
-        sq_lengths = [mlen for _name, mlen in lay.squeezes]
-        h1s = blake2b_256_prefixes(buf, sq_lengths)  # (B, S, 32)
-        h2s = blake2b_256(h1s.reshape(B * len(sq_lengths), 32)).reshape(
-            B, len(sq_lengths), 32
-        )
-        ch = {
-            name: self._challenge_from_hashes(h1s[:, s, :], h2s[:, s, :])
-            for s, (name, _mlen) in enumerate(lay.squeezes)
-        }
+        if self._pallas_ok(B):
+            # fused Pallas transcript kernel (prefix chain + per-squeeze
+            # final blocks + h2) — the XLA graph form costs ~40 ms/batch
+            h1w, h2w = self._pallas_transcript()(buf)  # (B, S, 8) words
+            ch = {
+                name: self._challenge_from_words(h1w[:, s], h2w[:, s])
+                for s, (name, _mlen) in enumerate(lay.squeezes)
+            }
+        else:
+            sq_lengths = [mlen for _name, mlen in lay.squeezes]
+            h1s = blake2b_256_prefixes(buf, sq_lengths)  # (B, S, 32)
+            h2s = blake2b_256(h1s.reshape(B * len(sq_lengths), 32)).reshape(
+                B, len(sq_lengths), 32
+            )
+            ch = {
+                name: self._challenge_from_hashes(h1s[:, s, :], h2s[:, s, :])
+                for s, (name, _mlen) in enumerate(lay.squeezes)
+            }
 
         # ---- parse proof fields ------------------------------------------
         scalar_names = list(lay.scalar_offsets.keys())

@@ -95,7 +95,12 @@ def worker(pid: int, nproc: int, batch: int, out_path: str | None):
     # is cold) blows it. After the barrier both processes hit the first
     # collective within milliseconds.
     compiled = fn.lower(proofs_g, pis_g).compile()
-    multihost_utils.sync_global_devices("smoke-compiled")
+    # NB: not multihost_utils.sync_global_devices — that barrier is itself a
+    # gloo psum and would hit the same 30 s init window. The coordination-
+    # service barrier takes an explicit timeout and uses no collectives.
+    jax._src.distributed.global_state.client.wait_at_barrier(
+        "smoke-compiled", timeout_in_ms=60 * 60 * 1000
+    )
 
     # warm + correctness fetch (off the clock)
     local = np.asarray(
