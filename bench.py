@@ -62,7 +62,7 @@ def _time_pipelined(fn, iters):
 
 def _bench_circuit(circuit, flavor, inputs, batch, iters, metric, dev,
                    vs_baseline_of=None, n_proofs=4, seeds=None, y_hints=True,
-                   rlc_group=None, subgroup="aggregate"):
+                   rlc_group=None, subgroup="aggregate", subgroup_rounds=None):
     import jax
 
     from plutus_halo2_tpu.models.verifier_jax import JaxVerifier
@@ -83,7 +83,8 @@ def _bench_circuit(circuit, flavor, inputs, batch, iters, metric, dev,
     # a couple of deliberately corrupted rows keep the accept path honest
     proofs[1, 100] ^= 0x40
 
-    verifier = JaxVerifier(plan, subgroup_check=subgroup)
+    kw = {} if subgroup_rounds is None else {"subgroup_rounds": subgroup_rounds}
+    verifier = JaxVerifier(plan, subgroup_check=subgroup, **kw)
     pis = verifier.encode_public_inputs([inputs] * batch)
     proofs_d = jax.device_put(proofs, dev)
     pis_d = jax.device_put(pis, dev)
@@ -142,6 +143,8 @@ def _bench_circuit(circuit, flavor, inputs, batch, iters, metric, dev,
         row["mode"] = "rlc_batch_pairing_exact_verdicts"
         row["rlc_group"] = rlc_group
     row["subgroup"] = subgroup
+    if subgroup == "aggregate":
+        row["subgroup_rounds"] = verifier.subgroup_rounds
     if vs_baseline_of:
         row["vs_baseline"] = round(throughput / vs_baseline_of, 4)
     return row
@@ -212,6 +215,14 @@ def run_once(batch: int, iters: int):
                 SimpleMulCircuit(), FLAVOR_HALO2, [42, 42, 42], batch, iters,
                 "simple_mul_halo2_subgroup_off_verifications_per_sec_per_chip",
                 dev, subgroup="off",
+            )
+        )
+        # tighter-parity aggregate variant (evasion <= 1/9 instead of 1/3)
+        emit(
+            _bench_circuit(
+                SimpleMulCircuit(), FLAVOR_HALO2, [42, 42, 42], batch, iters,
+                "simple_mul_halo2_subgroup_r2_verifications_per_sec_per_chip",
+                dev, subgroup_rounds=2,
             )
         )
         emit(

@@ -91,77 +91,84 @@ def make_transcript_kernel(lengths, lanes: int = LANES,
     need = (max_fb + 1) * 128
     assert all(l >= 1 for l in lengths)
 
-    fb_arr = np.array([fbs], dtype=np.int32)  # (1, S)
-    tfin_arr = np.array([list(lengths)], dtype=np.int32)  # (1, S)
-    sigma = _SIGMA12.astype(np.int32)  # (12, 16)
+    # kernels may not capture array constants: the 8 IV/h0 quarters ride a
+    # (8, 4, 1) VMEM input and lane-broadcast inside; the per-squeeze final
+    # lengths ride a (1, S, 1) input
+    iv_in = np.concatenate([_H0Q, _IVQ]).astype(np.uint32)[:, :, None]
+    t_in = np.array(list(lengths), dtype=np.uint32)[None, :, None]  # (1, S, 1)
     # final-block byte mask per prefix (multiplicative 0/1), applied in the
     # XLA wrapper
     mask = np.zeros((S, 128), dtype=np.uint8)
     for s, l in enumerate(lengths):
         mask[s, : l - fbs[s] * 128] = 1
 
-    # kernels may not capture array constants: the 8 IV/h0 quarters ride a
-    # (8, 4, 1) VMEM input and lane-broadcast inside
-    iv_in = np.concatenate([_H0Q, _IVQ]).astype(np.uint32)[:, :, None]
-
-    def kernel(sigma_ref, fb_ref, tfin_ref, iv_ref, msg_ref, fin_ref,
-               out1_ref, out2_ref, states_ref, mblk_ref):
+    def kernel(iv_ref, tfin_ref, msg_ref, fin_lo_ref, fin_hi_ref, out1_ref,
+               out2_ref, states_ref, mblk_ref):
         B = msg_ref.shape[-1]
 
-        def bcq(i):  # iv_ref row -> (4, B) uint32
-            return jnp.broadcast_to(iv_ref[i], (4, B)).astype(jnp.uint32)
+        def bcq(i, shape):  # iv_ref row -> (4, *shape[1:]) uint32
+            col = iv_ref[i]  # (4, 1)
+            if len(shape) == 2:
+                return jnp.broadcast_to(col, shape).astype(jnp.uint32)
+            # staged: lanes first, then the squeeze axis (a single broadcast
+            # touching both sublanes and lanes is unimplemented in Mosaic)
+            x = jnp.broadcast_to(col, (4, shape[-1]))
+            return jnp.broadcast_to(x[:, None, :], shape).astype(jnp.uint32)
 
-        ha0 = (bcq(0), bcq(1))
-        hb0 = (bcq(2), bcq(3))
-        ivc = (bcq(4), bcq(5))
-        ivd_lo, ivd_hi = bcq(6), bcq(7)
-        row_idx = jax.lax.broadcasted_iota(jnp.uint32, (4, B), 0)
-
-        def compress(ha, hb, t, final: bool):
-            """One compression of the block sitting in mblk_ref (16, 2, B).
-            t: traced uint32 byte counter."""
+        def compress(ha, hb, read_word, t_row0, final: bool, shape):
+            """One (possibly squeeze-batched) compression. Quarters have
+            shape `shape` = (4, B) or (4, S, B); read_word(w) -> (lo, hi)
+            rows of shape (1, ...); t_row0: the t counter already broadcast
+            to shape[1:]."""
             a, b = ha, hb
-            c = ivc
-            d_lo = ivd_lo ^ jnp.where(row_idx == 0, t.astype(jnp.uint32), 0)
-            d_hi = ivd_hi
+            c = (bcq(4, shape), bcq(5, shape))
+            row_idx = jax.lax.broadcasted_iota(jnp.uint32, shape, 0)
+            d_lo = bcq(6, shape) ^ jnp.where(row_idx == 0, t_row0[None], 0)
+            d_hi = bcq(7, shape)
             if final:
                 fm = jnp.where(row_idx == 2, jnp.uint32(0xFFFFFFFF), 0)
                 d_lo = d_lo ^ fm
                 d_hi = d_hi ^ fm
             d = (d_lo, d_hi)
 
+            # the 12 rounds are emitted straight-line with STATIC SIGMA
+            # indices (dynamic message reads measured slower; the body is
+            # tiny so the unrolled emission stays small)
             def msel(r, idxs):
                 los, his = [], []
                 for i in idxs:
-                    blk = mblk_ref[pl.ds(sigma_ref[r, i], 1)]  # (1, 2, B)
-                    los.append(blk[:, 0, :])
-                    his.append(blk[:, 1, :])
+                    lo, hi = read_word(int(_SIGMA12[r, i]))
+                    los.append(lo)
+                    his.append(hi)
                 return (jnp.concatenate(los, axis=0), jnp.concatenate(his, axis=0))
 
-            def round_body(r, carry):
-                a, b, c, d = carry
+            for r in range(12):
                 a, b, c, d = _G4(a, b, c, d, msel(r, (0, 2, 4, 6)),
                                  msel(r, (1, 3, 5, 7)))
                 b, c, d = _rotq(b, 1), _rotq(c, 2), _rotq(d, 3)
                 a, b, c, d = _G4(a, b, c, d, msel(r, (8, 10, 12, 14)),
                                  msel(r, (9, 11, 13, 15)))
                 b, c, d = _rotq(b, 3), _rotq(c, 2), _rotq(d, 1)
-                return (a, b, c, d)
-
-            a, b, c, d = jax.lax.fori_loop(0, 12, round_body, (a, b, c, d))
             return (
                 (ha[0] ^ a[0] ^ c[0], ha[1] ^ a[1] ^ c[1]),
                 (hb[0] ^ b[0] ^ d[0], hb[1] ^ b[1] ^ d[1]),
             )
 
         # ---- chain over the full blocks; state after block j at index j+1
+        ha0 = (bcq(0, (4, B)), bcq(1, (4, B)))
+        hb0 = (bcq(2, (4, B)), bcq(3, (4, B)))
         states_ref[0] = jnp.stack([ha0[0], ha0[1], hb0[0], hb0[1]], axis=0)
 
         def chain_body(j, carry):
             ha, hb = carry
             mblk_ref[:, :, :] = msg_ref[pl.ds(j, 1)][0]
-            t = ((j + 1) * 128).astype(jnp.uint32)
-            ha, hb = compress(ha, hb, t, final=False)
+
+            def read_word(w):
+                blk = mblk_ref[w]  # (2, B)
+                return blk[0:1, :], blk[1:2, :]
+
+            t = jnp.broadcast_to(((j + 1) * 128).astype(jnp.uint32), (B,))
+            ha, hb = compress(ha, hb, read_word, t, False, (4, B))
             states_ref[pl.ds(j + 1, 1)] = jnp.stack(
                 [ha[0], ha[1], hb[0], hb[1]], axis=0
             )[None]
@@ -169,29 +176,47 @@ def make_transcript_kernel(lengths, lanes: int = LANES,
 
         jax.lax.fori_loop(0, max_fb, chain_body, (ha0, hb0))
 
-        # ---- per squeeze: one masked final-block compression + one h2
-        def squeeze_body(s, _):
-            fb = fb_ref[0, s]
-            st = states_ref[pl.ds(fb, 1)][0]  # (4, 4, B)
-            ha, hb = (st[0], st[1]), (st[2], st[3])
-            mblk_ref[:, :, :] = fin_ref[pl.ds(s, 1)][0]
-            h1a, h1b = compress(ha, hb, tfin_ref[0, s], final=True)
-            out1_ref[pl.ds(s, 1)] = jnp.stack(
-                [h1a[0], h1a[1], h1b[0], h1b[1]], axis=0
-            )[None]
+        # ---- ALL squeezes at once: the S final-block compressions are
+        # independent, so they batch on a sublane axis -> ONE compression of
+        # (4, S, B) quarters + ONE for the h2s, instead of 2*S sequential.
+        # The chain-state each squeeze resumes from is a STATIC index (the
+        # squeeze lengths are static), so this is a plain static gather.
+        sshape = (4, S, B)
+        st = [states_ref[fbs[s]] for s in range(S)]  # each (4, 4, B)
+        hin = [
+            jnp.stack([st[s][q] for s in range(S)], axis=1) for q in range(4)
+        ]  # 4 x (4, S, B)
+        ha = (hin[0], hin[1])
+        hb = (hin[2], hin[3])
 
-            # h2 = blake2b_256 of the 32-byte h1 digest: the digest is the
-            # LE64 concat of words 0..3 (the a-quarter), so its message
-            # words ARE (lo, hi) of that quarter — no byte shuffling.
-            mblk_ref[:, :, :] = jnp.zeros((16, 2, B), jnp.uint32)
-            mblk_ref[pl.ds(0, 4)] = jnp.stack([h1a[0], h1a[1]], axis=1)
-            h2a, h2b = compress(ha0, hb0, jnp.uint32(32), final=True)
-            out2_ref[pl.ds(s, 1)] = jnp.stack(
-                [h2a[0], h2a[1], h2b[0], h2b[1]], axis=0
-            )[None]
-            return 0
+        def read_fin(w):
+            # word-major 3D lo/hi refs: Mosaic handles leading static
+            # indexing of 3D refs; 4D reads lowered as unsupported gathers
+            return fin_lo_ref[w][None], fin_hi_ref[w][None]  # (1, S, B)
 
-        jax.lax.fori_loop(0, S, squeeze_body, 0)
+        t1 = jnp.broadcast_to(tfin_ref[0][:, :], (S, B)).astype(jnp.uint32)
+        h1a, h1b = compress(ha, hb, read_fin, t1, True, sshape)
+        out1_ref[:, :, :, :] = jnp.stack(
+            [h1a[0], h1a[1], h1b[0], h1b[1]], axis=0
+        ).transpose(2, 0, 1, 3)
+
+        # h2 = blake2b_256 of each 32-byte h1 digest: the digest is the LE64
+        # concat of words 0..3 (the a-quarter), so its message words ARE
+        # (lo, hi) of that quarter — no byte shuffling.
+        zero_row = jnp.zeros((1, S, B), jnp.uint32)
+
+        def read_m2(w):
+            if w < 4:
+                return h1a[0][w : w + 1], h1a[1][w : w + 1]
+            return zero_row, zero_row
+
+        ha0s = (bcq(0, sshape), bcq(1, sshape))
+        hb0s = (bcq(2, sshape), bcq(3, sshape))
+        t2 = jnp.full((S, B), 32, jnp.uint32)
+        h2a, h2b = compress(ha0s, hb0s, read_m2, t2, True, sshape)
+        out2_ref[:, :, :, :] = jnp.stack(
+            [h2a[0], h2a[1], h2b[0], h2b[1]], axis=0
+        ).transpose(2, 0, 1, 3)
 
     def hashes(buf):
         B = buf.shape[0]
@@ -214,23 +239,27 @@ def make_transcript_kernel(lengths, lanes: int = LANES,
         fin_bytes = jnp.stack(
             [buf[:, fbs[s] * 128 : (fbs[s] + 1) * 128] for s in range(S)], axis=1
         ) * jnp.asarray(mask)[None]  # (B, S, 128)
-        fin_k = pack_words(fin_bytes)
+        fin_k = jnp.moveaxis(pack_words(fin_bytes), 1, 0)  # (16, S, 2, B)
+        fin_lo, fin_hi = fin_k[:, :, 0], fin_k[:, :, 1]  # (16, S, B)
 
         out1, out2 = pl.pallas_call(
             kernel,
             grid=(nbt,),
             in_specs=[
-                pl.BlockSpec(memory_space=pltpu.SMEM),  # sigma
-                pl.BlockSpec(memory_space=pltpu.SMEM),  # fb
-                pl.BlockSpec(memory_space=pltpu.SMEM),  # tfin
                 pl.BlockSpec((8, 4, 1), lambda b: (0, 0, 0),
                              memory_space=pltpu.VMEM),  # IV/h0 quarters
+                pl.BlockSpec((1, S, 1), lambda b: (0, 0, 0),
+                             memory_space=pltpu.VMEM),  # final lengths
                 pl.BlockSpec(
                     (max_fb + 1, 16, 2, lanes), lambda b: (0, 0, 0, b),
                     memory_space=pltpu.VMEM,
                 ),
                 pl.BlockSpec(
-                    (S, 16, 2, lanes), lambda b: (0, 0, 0, b),
+                    (16, S, lanes), lambda b: (0, 0, b),
+                    memory_space=pltpu.VMEM,
+                ),
+                pl.BlockSpec(
+                    (16, S, lanes), lambda b: (0, 0, b),
                     memory_space=pltpu.VMEM,
                 ),
             ],
@@ -252,8 +281,7 @@ def make_transcript_kernel(lengths, lanes: int = LANES,
                 vmem_limit_bytes=64 * 1024 * 1024,
             ),
             interpret=interpret,
-        )(jnp.asarray(sigma), jnp.asarray(fb_arr), jnp.asarray(tfin_arr),
-          jnp.asarray(iv_in), words_k, fin_k)
+        )(jnp.asarray(iv_in), jnp.asarray(t_in), words_k, fin_lo, fin_hi)
 
         def to_words(o):
             # (S, 4{alo,ahi,blo,bhi}, 4, B) -> (B, S, 8): digest words are
