@@ -62,7 +62,8 @@ def _time_pipelined(fn, iters):
 
 def _bench_circuit(circuit, flavor, inputs, batch, iters, metric, dev,
                    vs_baseline_of=None, n_proofs=4, seeds=None, y_hints=True,
-                   rlc_group=None, subgroup="aggregate", subgroup_rounds=None):
+                   rlc_group=None, subgroup="aggregate", subgroup_rounds=None,
+                   prebuilt=None):
     import jax
 
     from plutus_halo2_tpu.models.verifier_jax import JaxVerifier
@@ -70,14 +71,20 @@ def _bench_circuit(circuit, flavor, inputs, batch, iters, metric, dev,
     from plutus_halo2_tpu.refimpl.prover import prove
     from plutus_halo2_tpu.refimpl.srs import TrapdoorSRS
 
-    pk, plan = keygen(circuit, flavor=flavor, srs=TrapdoorSRS.from_seed(b"bench-srs"))
-    base_proofs = [
-        np.frombuffer(
-            prove(pk, plan, circuit, inputs, seed=f"bench-{i}".encode()),
-            dtype=np.uint8,
-        )
-        for i in range(n_proofs)
-    ]
+    if prebuilt is not None:
+        # (plan, [proof bytes-arrays]) from committed artifacts — no keygen /
+        # prove in-process (the 228/408 row's k=22 native prove took 73 min;
+        # verification throughput is what this row measures)
+        plan, base_proofs = prebuilt
+    else:
+        pk, plan = keygen(circuit, flavor=flavor, srs=TrapdoorSRS.from_seed(b"bench-srs"))
+        base_proofs = [
+            np.frombuffer(
+                prove(pk, plan, circuit, inputs, seed=f"bench-{i}".encode()),
+                dtype=np.uint8,
+            )
+            for i in range(n_proofs)
+        ]
     reps = -(-batch // len(base_proofs))
     proofs = np.stack((base_proofs * reps)[:batch]).copy()
     # a couple of deliberately corrupted rows keep the accept path honest
@@ -249,26 +256,58 @@ def run_once(batch: int, iters: int):
         parties = int(os.environ.get("BENCH_ATMS_PARTIES", "90"))
         threshold = int(os.environ.get("BENCH_ATMS_THRESHOLD", "50"))
         msg = 424242
-        pks, sigs, _comm = prepare_test_signatures(parties, threshold, msg, seed=b"bench-atms")
-        circuit = AtmsCircuit(pks, sigs, msg, threshold)
-        emit(
-            _bench_circuit(
-                circuit, FLAVOR_HALO2, circuit.public_inputs(), batch, iters,
-                f"atms_{threshold}_{parties}_halo2_verifications_per_sec_per_chip",
-                dev, n_proofs=1,
+        art = os.path.join(os.path.dirname(__file__), "examples", "artifacts")
+        art_name = f"atms_{threshold}_{parties}"
+        if os.path.exists(os.path.join(art, f"{art_name}_vk.json")):
+            # committed-artifact scale (e.g. 228/408, k=22 — README.md:221):
+            # plan_from_vk + the committed proof; measure verification only
+            from plutus_halo2_tpu.refimpl.keygen import plan_from_vk
+            from plutus_halo2_tpu.utils.serialization import (
+                parse_public_inputs,
+                vk_from_json,
             )
-        )
-        # the reference's 5th benchmark row (README.md:222, BASELINE config
-        # 5): ATMS + lookup argument at the same party scale
-        lk_circuit = AtmsLookupCircuit(pks, sigs, msg, threshold)
-        emit(
-            _bench_circuit(
-                lk_circuit, FLAVOR_HALO2, lk_circuit.public_inputs(), batch,
-                iters,
-                f"atms_with_lookups_{threshold}_{parties}_halo2_verifications_per_sec_per_chip",
-                dev, n_proofs=1,
+
+            with open(os.path.join(art, f"{art_name}_vk.json")) as f:
+                vk = vk_from_json(f.read())
+            with open(os.path.join(art, f"{art_name}_proof.hex")) as f:
+                proof = np.frombuffer(
+                    bytes.fromhex(f.read().strip()), dtype=np.uint8
+                )
+            with open(os.path.join(art, f"{art_name}_public_input.hex")) as f:
+                inputs = parse_public_inputs(f.read())
+            # circuit STRUCTURE only — witness values don't shape the plan
+            plan = plan_from_vk(
+                AtmsCircuit([(0, 1)] * parties, [None] * parties, 0, threshold),
+                vk, flavor=FLAVOR_HALO2,
             )
-        )
+            emit(
+                _bench_circuit(
+                    None, FLAVOR_HALO2, inputs, batch, iters,
+                    f"atms_{threshold}_{parties}_halo2_verifications_per_sec_per_chip",
+                    dev, n_proofs=1, prebuilt=(plan, [proof]),
+                )
+            )
+        else:
+            pks, sigs, _comm = prepare_test_signatures(parties, threshold, msg, seed=b"bench-atms")
+            circuit = AtmsCircuit(pks, sigs, msg, threshold)
+            emit(
+                _bench_circuit(
+                    circuit, FLAVOR_HALO2, circuit.public_inputs(), batch, iters,
+                    f"atms_{threshold}_{parties}_halo2_verifications_per_sec_per_chip",
+                    dev, n_proofs=1,
+                )
+            )
+            # the reference's 5th benchmark row (README.md:222, BASELINE
+            # config 5): ATMS + lookup argument at the same party scale
+            lk_circuit = AtmsLookupCircuit(pks, sigs, msg, threshold)
+            emit(
+                _bench_circuit(
+                    lk_circuit, FLAVOR_HALO2, lk_circuit.public_inputs(), batch,
+                    iters,
+                    f"atms_with_lookups_{threshold}_{parties}_halo2_verifications_per_sec_per_chip",
+                    dev, n_proofs=1,
+                )
+            )
 
     if os.environ.get("BENCH_RLC_SWEEP", "0") == "1":
         # RLC group-size sweep: with the staged programs, each sweep point

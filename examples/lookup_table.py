@@ -43,7 +43,11 @@ def main():
 
     out_dir = os.path.join(os.path.dirname(__file__), "artifacts")
     os.makedirs(out_dir, exist_ok=True)
-    from plutus_halo2_tpu.utils.serialization import export_proof, export_public_inputs
+    from plutus_halo2_tpu.utils.serialization import (
+        export_proof,
+        export_public_inputs,
+        vk_to_json,
+    )
 
     with open(os.path.join(out_dir, "lookup_table_proof.hex"), "w") as f:
         f.write(export_proof(proof))
@@ -51,6 +55,8 @@ def main():
         f.write(export_proof(bytes(bad)))
     with open(os.path.join(out_dir, "lookup_table_public_input.hex"), "w") as f:
         f.write(export_public_inputs(inputs))
+    with open(os.path.join(out_dir, "lookup_table_vk.json"), "w") as f:
+        f.write(vk_to_json(plan.vk))
 
 
 if __name__ == "__main__":

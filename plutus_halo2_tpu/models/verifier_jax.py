@@ -136,7 +136,7 @@ class JaxVerifier:
 
     def __init__(self, plan: CircuitPlan, use_pallas: bool | None = None,
                  subgroup_check: bool | str = "aggregate",
-                 subgroup_rounds: int = 1):
+                 subgroup_rounds: int = jc.DEFAULT_SUBGROUP_ROUNDS):
         if use_pallas is None:
             use_pallas = jax.default_backend() not in ("cpu",)
         self.use_pallas = use_pallas
@@ -147,11 +147,11 @@ class JaxVerifier:
         #       membership test (ops/curve.aggregate_subgroup_check; Pallas
         #       kernel on TPU). Exact for honest rows; adversarial
         #       non-subgroup encodings evade with prob <= 3^-subgroup_rounds
-        #       per submission (default 1 round: <= 1/3; raise
-        #       subgroup_rounds for tighter byte-level parity at ~7 ms/round
-        #       per 1024-batch). The proof verdict itself is unaffected
-        #       either way — the verification equation is
-        #       cofactor-insensitive.
+        #       per submission (default ops/curve.DEFAULT_SUBGROUP_ROUNDS = 1
+        #       round: <= 1/3; raise subgroup_rounds for tighter byte-level
+        #       parity at ~7 ms/round per 1024-batch). The proof verdict
+        #       itself is unaffected either way — the verification equation
+        #       is cofactor-insensitive.
         #   "exact" / True — deterministic per-point endomorphism check
         #       (~9x verify cost; full byte-level parity).
         #   "off" / False — trust encodings to be subgroup members.
@@ -259,6 +259,14 @@ class JaxVerifier:
             self._pallas_cache[key] = make_transcript_kernel(
                 [mlen for _name, mlen in self.layout.squeezes]
             )
+        return self._pallas_cache[key]
+
+    def _pallas_decompress(self, K: int):
+        key = ("decompress", K)
+        if key not in self._pallas_cache:
+            from ..ops.pallas_curve import make_decompress_kernel
+
+            self._pallas_cache[key] = make_decompress_kernel(K)
         return self._pallas_cache[key]
 
     def _pallas_subgroup(self, K: int):
@@ -456,7 +464,8 @@ class JaxVerifier:
         sat in failing groups (mass-corruption / adversarial flood) does this
         fall back to host-chunked exact re-checks."""
         verdicts = np.asarray(verdicts)
-        group = verdicts.shape[0] // np.asarray(group_ok).shape[0]
+        # shape read only — no device fetch of group_ok on the fast path
+        group = verdicts.shape[0] // group_ok.shape[0]
         if int(n_sus) > R:
             group_ok = np.asarray(group_ok)
             all_valid = np.asarray(all_valid)
@@ -698,8 +707,15 @@ class JaxVerifier:
         )
         pt_raw = proof[:, jnp.asarray(pt_idx)]  # (B, n_p, 48)
         if y_hints is not None:
-            # hint path: 2 Fp muls per point instead of the sqrt ladder
-            pts, pt_valid = jc.decompress(pt_raw, y_hint=y_hints)
+            # hint path: 2 Fp muls per point instead of the sqrt ladder;
+            # on TPU the whole hinted parse/decompress stage is one Pallas
+            # kernel (bit-identical — see make_decompress_kernel)
+            if self._pallas_ok(B):
+                pts, pt_valid = self._pallas_decompress(len(point_names))(
+                    pt_raw, y_hints
+                )
+            else:
+                pts, pt_valid = jc.decompress(pt_raw, y_hint=y_hints)
         else:
             sqrt_fn = (
                 self._pallas_pow("fp", (FP_SPEC.N + 1) >> 2, len(point_names))
@@ -711,7 +727,17 @@ class JaxVerifier:
         all_valid = jnp.all(pt_valid, axis=-1)
         if self.subgroup_check == "exact":
             all_valid = all_valid & jnp.all(jc.subgroup_check(pts), axis=-1)
-        elif self.subgroup_check == "aggregate" and sub_weights is not None:
+        elif self.subgroup_check == "aggregate":
+            if sub_weights is None:
+                # refuse the silent semantic downgrade: the default strict
+                # mode NEEDS per-batch weights (verify()/verify_rlc() supply
+                # them; direct _verify_impl/_core_impl callers must pass
+                # subgroup_weights(), or opt out with subgroup_check="off")
+                raise ValueError(
+                    "subgroup_check='aggregate' requires sub_weights — pass "
+                    "verifier.subgroup_weights() (fresh per batch), or "
+                    "construct JaxVerifier(subgroup_check='off'/'exact')"
+                )
             if self._pallas_ok(B):
                 ok = self._pallas_subgroup(len(point_names))(pts, sub_weights)
             else:
@@ -920,12 +946,47 @@ class JaxVerifier:
                     order.append(key)
             return [(k, acc[k]) for k in order]
 
-        def run_msm(terms):
+        def _msm_arrays(terms):
             terms = dedup_terms(terms)
             self.msm_term_counts.append(len(terms))
             pts_arr = jnp.stack([resolve_point(k) for k, _c in terms], axis=-3)
             coeff_arr = jnp.stack([fr.from_mont(c) for _k, c in terms], axis=-2)
+            return pts_arr, coeff_arr
+
+        def run_msm(terms):
+            pts_arr, coeff_arr = _msm_arrays(terms)
             return self._msm(proof.shape[0], pts_arr, coeff_arr)
+
+        def run_msm_pair(terms_l, terms_r):
+            """Two MSMs in ONE kernel dispatch: the smaller term list is
+            zero-padded (scalar 0 selects the identity table entry — exact)
+            and both stack on the batch axis, halving the GWC flavor's MSM
+            launches (its el/er sides were dispatched separately; same trick
+            as _agg_impl's el/er stack)."""
+            B_ = proof.shape[0]
+            pl_, cl = _msm_arrays(terms_l)
+            pr_, cr = _msm_arrays(terms_r)
+            K = max(pl_.shape[-3], pr_.shape[-3])
+
+            def pad(p, c):
+                k = p.shape[-3]
+                if k == K:
+                    return p, c
+                zp = jnp.zeros((*p.shape[:-3], K - k, *p.shape[-2:]), p.dtype)
+                zc = jnp.zeros((*c.shape[:-2], K - k, c.shape[-1]), c.dtype)
+                return (
+                    jnp.concatenate([p, zp], axis=-3),
+                    jnp.concatenate([c, zc], axis=-2),
+                )
+
+            pl_, cl = pad(pl_, cl)
+            pr_, cr = pad(pr_, cr)
+            both = self._msm(
+                2 * B_,
+                jnp.concatenate([pl_, pr_], axis=0),
+                jnp.concatenate([cl, cr], axis=0),
+            )
+            return both[:B_], both[B_:]
 
         from ..refimpl.curve import G1_GEN, g1_neg
 
@@ -935,7 +996,7 @@ class JaxVerifier:
         if plan.flavor == FLAVOR_HALO2:
             el, er_msm = self._multiopen_halo2(plan, ch, scalars, eval_value, com_terms, run_msm, points, set_points, mo_invs)
         else:
-            el, er_msm = self._multiopen_gwc(plan, ch, scalars, rot_point, eval_value, com_terms, run_msm, points)
+            el, er_msm = self._multiopen_gwc(plan, ch, scalars, rot_point, eval_value, com_terms, run_msm_pair, points)
 
         # ---- pairing sides -------------------------------------------------
         er = jc.neg(er_msm)
@@ -1026,9 +1087,10 @@ class JaxVerifier:
         er = run_msm(msm_terms)
         return points["pi"], er
 
-    def _multiopen_gwc(self, plan, ch, scalars, rot_point, eval_value, com_terms, run_msm, points):
+    def _multiopen_gwc(self, plan, ch, scalars, rot_point, eval_value, com_terms, run_msm_pair, points):
         """GWC19 accumulation (GwcMultiOpenMSM.hs:96-135); duplicate points
-        (a commitment queried at several rotations) merge in run_msm."""
+        (a commitment queried at several rotations) merge at plan time, and
+        the two pairing-side MSMs run as ONE stacked kernel dispatch."""
         from ..refimpl.multiopen import group_queries_by_rotation
 
         v_ch, u_ch = ch["v"], ch["u"]
@@ -1053,6 +1115,4 @@ class JaxVerifier:
             u_pow = fr.mul(u_pow, u_ch)
         right_terms.append(("#neg_g1", final_eval))
 
-        el = run_msm(left_terms)
-        er = run_msm(right_terms)
-        return el, er
+        return run_msm_pair(left_terms, right_terms)

@@ -321,8 +321,17 @@ SUBGROUP_WEIGHT_BITS = 16  # [1, 2^16) is exactly uniform mod 3 (the binding
 # points because 0 < w < ell implies w * c != 0 mod ell. Short weights keep
 # the aggregation MSM at 4 signed 5-bit windows instead of 52.
 
+# The ONE default for every aggregate-mode surface (JaxVerifier,
+# subgroup_weights, make_subgroup_kernel): 1 round = adversarial ENCODING
+# evasion <= 1/3 per submission at ~7 ms per 1024-batch. Proof verdicts are
+# unaffected either way (the verification equation is cofactor-insensitive);
+# raise rounds (3^-rounds) or use subgroup_check="exact" for byte-level
+# accept parity with the reference's deterministic uncompress abort.
+DEFAULT_SUBGROUP_ROUNDS = 1
 
-def subgroup_weights(n_points: int, rounds: int = 2, rng=None) -> np.ndarray:
+
+def subgroup_weights(n_points: int, rounds: int = DEFAULT_SUBGROUP_ROUNDS,
+                     rng=None) -> np.ndarray:
     """Fresh verifier-side aggregation weights: (rounds, n_points) uint32 in
     [1, 2^SUBGROUP_WEIGHT_BITS). Shared across batch rows (each row's test is
     marginally independent given the weights)."""

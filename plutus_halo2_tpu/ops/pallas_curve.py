@@ -126,6 +126,34 @@ def k_select(F: KField, cond, p, q):
     return tuple(F.select(cond, a, b) for a, b in zip(p, q))
 
 
+def table_select(table, mag, tent: int):
+    """Branchless windowed-table gather: table (chunk, TENT, 3, L, B),
+    mag (chunk, B) in [0, tent) -> (chunk, 3, L, B).
+
+    Bit-decomposed SELECT TREE instead of the one-hot multiply-accumulate:
+    level k halves the candidate set with one jnp.where keyed on mag bit k
+    (~2^(w-1) selects total), versus TENT compare+mask+sum passes over the
+    full table — the gather was ~30% of MSM kernel time (STAGES.md wbits
+    sweep decomposition). TENT = 2^(w-1)+1: the top entry (mag == 2^(w-1))
+    rides one final select. Values only (reshape+index, no strided slices —
+    Mosaic-safe like pallas_pairing._split)."""
+    chunk = table.shape[0]
+    pow2 = tent - 1  # 2^(wbits-1)
+    t_top = table[:, pow2]
+    t = table[:, :pow2]
+    bit = 0
+    n = pow2
+    while n > 1:
+        t = t.reshape(chunk, n // 2, 2, *t.shape[2:])
+        cond = ((mag >> bit) & 1).astype(bool)[:, None, None, None, :]
+        t = jnp.where(cond, t[:, :, 1], t[:, :, 0])
+        n //= 2
+        bit += 1
+    t = t[:, 0]
+    top = (mag == pow2)[:, None, None, :]
+    return jnp.where(top, t_top, t)
+
+
 def k_tree_reduce(F: KField, b3, t, k: int):
     """Halving-tree point sum over leading axis of size k (coords (k, L, B))."""
     while k > 1:
@@ -224,7 +252,6 @@ def make_msm_kernel(K: int, lanes: int = LANES, chunk: int = CHUNK,
             ident_w = k_identity(F, (NW, lanes))
             wsum_ref[:, :, :, :] = jnp.stack(ident_w, axis=1)
 
-        widx = jax.lax.broadcasted_iota(jnp.uint32, (chunk, TENT, 1, 1, lanes), 1)
         pts = points_ref[:, :, :, :]  # (chunk, 3, L, B) — this chunk's block
         p0 = (pts[:, 0], pts[:, 1], pts[:, 2])
         # table_ref[:, w] = w * P per point: entries 0..2^(wbits-1)
@@ -242,12 +269,8 @@ def make_msm_kernel(K: int, lanes: int = LANES, chunk: int = CHUNK,
         def window_step(j, _):
             mag = mags_ref[pl.ds(j, 1), :, :][0]  # (chunk, B) — chunk block
             neg = negs_ref[pl.ds(j, 1), :, :][0]
-            onehot = mag[:, None, None, None, :] == widx  # (chunk,TENT,1,1,B)
             table = table_ref[:, :, :, :, :]
-            # Mosaic: no unsigned reductions — limbs < 2^16 are int32-safe
-            sel = jnp.sum(
-                jnp.where(onehot, table, 0).astype(jnp.int32), axis=1
-            ).astype(jnp.uint32)  # (chunk, 3, L, B)
+            sel = table_select(table, mag, TENT)  # (chunk, 3, L, B)
             y = sel[:, 1]
             y = jnp.where(neg[:, None, :].astype(bool), F.neg(y), y)
             t = k_tree_reduce(F, b3, (sel[:, 0], y, sel[:, 2]), chunk)
@@ -327,10 +350,159 @@ def make_msm_kernel(K: int, lanes: int = LANES, chunk: int = CHUNK,
 
 
 # ---------------------------------------------------------------------------
+# hinted-decompression kernel (point parsing, the verify front-end)
+# ---------------------------------------------------------------------------
+
+def make_decompress_kernel(K: int, lanes: int = LANES, interpret: bool = False):
+    """Build decompress(pt_raw (B, K, 48) uint8, y_hints (B, K, L25)) ->
+    (points (B, K, 3, L25), valid (B, K)): the HINTED branch of
+    ops/curve.decompress as one Pallas kernel — the per-point field work
+    (to-Montgomery lifts, the y^2 == x^3 + 4 hint check, sign normalization
+    per the blst conventions of CompressUncompress.hs:51-97, and the
+    R24 -> R25 domain conversion out) runs as Mosaic vector code over all K
+    points at once; only the byte unpacking / flag logic stays in XLA.
+    Bit-identical to jc.decompress(..., y_hint=...) for hints < 2^384 (the
+    kernel reads the hint's low 24 limbs; compute_y_hints always emits
+    canonical < p values. An oversized malicious hint is reinterpreted mod
+    2^384 — it stays a wrong hint and can only flip its row to reject).
+
+    ~8 mont_muls per point vs the XLA graph's dispatch-bound ~13 ms/batch
+    stage (STAGES.md round-4 budget)."""
+    from ..refimpl.field import P
+
+    L = FP24_SPEC.L
+    r24 = 1 << (16 * L)
+    # plain-multiplier columns (see mont_mul: out = a*b/R24):
+    one_raw = np.zeros(L, np.uint32)
+    one_raw[0] = 1  # from_mont multiplier
+    from .limb import FP_SPEC, int_to_limbs
+    from .pallas_core import staged_broadcast
+
+    r25_col = int_to_limbs(FP_SPEC.R % P, L).reshape(-1, 1)  # R24 -> R25
+    b_col = FP24_SPEC.to_mont(4).reshape(-1, 1)  # curve b, R24 Montgomery
+    # carry-test helpers: value + helper overflows the L-limb window iff
+    # value >= C (C = p for the x-range check, (p+1)/2 for the sign test)
+    pad0 = lambda v: np.concatenate([v, np.zeros(1, np.uint32)])  # noqa: E731
+    ge_p = pad0(int_to_limbs(r24 - P, L)).reshape(-1, 1)
+    ge_half = pad0(int_to_limbs(r24 - ((P + 1) >> 1), L)).reshape(-1, 1)
+
+    def kernel(consts_ref, onec_ref, r25_ref, b_ref, gep_ref, geh_ref,
+               x_ref, hint_ref, sign_ref, pts_ref, ok_ref):
+        F = kfp.bind(consts_ref[:, :], unroll_mul=not interpret)
+        r2 = F._row("r2")
+        onec = onec_ref[:, :]
+        r25c = r25_ref[:, :]
+
+        x_raw = x_ref[:, :, :]  # (K, L, B) canonical integer limbs < 2^381
+        hint = hint_ref[:, :, :]
+        sign = sign_ref[:, :]  # (K, B)
+
+        def ge_test(val, helper_ref):
+            # val (K, L, B) canonical; helper (L+1, 1)
+            ext = jnp.concatenate([val, jnp.zeros_like(val[:, :1, :])], axis=1)
+            z = F.normalize(
+                ext + staged_broadcast(helper_ref[:, :], ext.shape)
+            )
+            # static slice + reshape (an int-index squeeze lowers to an
+            # unsupported dynamic_slice in Mosaic)
+            return z[:, L : L + 1, :].reshape(val.shape[0], val.shape[-1]) > 0
+
+        x_ge_p = ge_test(x_raw, gep_ref)
+        xm = F.mont_mul(x_raw, r2)  # x * R24
+        rhs = F.add(
+            F.mont_mul(F.mont_mul(xm, xm), xm),
+            staged_broadcast(b_ref[:, :], xm.shape).astype(jnp.uint32),
+        )
+        ym = F.mont_mul(hint, r2)
+        root_ok = F.eq(F.mont_mul(ym, ym), rhs)  # (K, B)
+        # sign: compressed flag wants the lexicographically larger root iff
+        # set; y > -y  <=>  2y > p  <=>  y >= (p+1)/2 on canonical y
+        y_can = F.canon(F.mont_mul(ym, onec))
+        y_gt = ge_test(y_can, geh_ref)
+        want_neg = (sign != 0) ^ y_gt
+        y_sel = F.select(want_neg, F.neg(ym), ym)
+        # domain out: value*R24 -> value*R25 (24-limb carrier; canonical < N)
+        x_out = F.canon(F.mont_mul(xm, r25c))
+        y_out = F.canon(F.mont_mul(y_sel, r25c))
+        z_out = staged_broadcast(r25c, x_out.shape).astype(jnp.uint32)  # 1·R25
+        pts_ref[:, :, :, :] = jnp.stack([x_out, y_out, z_out], axis=1)
+        ok_ref[:, :] = (root_ok & ~x_ge_p).astype(jnp.uint32)
+
+    def decompress(pt_raw, y_hints):
+        pt_raw = jnp.asarray(pt_raw)
+        B = pt_raw.shape[0]
+        assert B % lanes == 0, f"batch {B} must be a multiple of {lanes}"
+        assert pt_raw.shape[1] == K and y_hints.shape[1] == K
+        nbt = B // lanes
+
+        flags = pt_raw[..., 0].astype(jnp.uint32)  # (B, K)
+        comp_flag = (flags & 0x80) != 0
+        inf_flag = (flags & 0x40) != 0
+        sign_flag = ((flags & 0x20) != 0).astype(jnp.uint32)
+
+        x_bytes = pt_raw.at[..., 0].set((flags & 0x1F).astype(pt_raw.dtype))
+        # big-endian bytes -> LE 16-bit limbs (381 bits fit 24 limbs exactly)
+        le = x_bytes[..., ::-1].astype(jnp.uint32)
+        pairs = le.reshape(*le.shape[:-1], 24, 2)
+        x24 = pairs[..., 0] | (pairs[..., 1] << 8)  # (B, K, 24)
+
+        # kernel layout: batch -> lanes
+        x_k = jnp.moveaxis(x24, 0, -1)  # (K, 24, B)
+        h_k = jnp.moveaxis(y_hints[..., :L].astype(jnp.uint32), 0, -1)
+        s_k = jnp.moveaxis(sign_flag, 0, -1)  # (K, B)
+
+        pts_k, ok_k = pl.pallas_call(
+            kernel,
+            grid=(nbt,),
+            in_specs=[
+                pl.BlockSpec((6, L + 1), lambda b: (0, 0), memory_space=pltpu.VMEM),
+                pl.BlockSpec((L, 1), lambda b: (0, 0), memory_space=pltpu.VMEM),
+                pl.BlockSpec((L, 1), lambda b: (0, 0), memory_space=pltpu.VMEM),
+                pl.BlockSpec((L, 1), lambda b: (0, 0), memory_space=pltpu.VMEM),
+                pl.BlockSpec((L + 1, 1), lambda b: (0, 0), memory_space=pltpu.VMEM),
+                pl.BlockSpec((L + 1, 1), lambda b: (0, 0), memory_space=pltpu.VMEM),
+                pl.BlockSpec((K, L, lanes), lambda b: (0, 0, b), memory_space=pltpu.VMEM),
+                pl.BlockSpec((K, L, lanes), lambda b: (0, 0, b), memory_space=pltpu.VMEM),
+                pl.BlockSpec((K, lanes), lambda b: (0, b), memory_space=pltpu.VMEM),
+            ],
+            out_specs=[
+                pl.BlockSpec((K, 3, L, lanes), lambda b: (0, 0, 0, b), memory_space=pltpu.VMEM),
+                pl.BlockSpec((K, lanes), lambda b: (0, b), memory_space=pltpu.VMEM),
+            ],
+            out_shape=[
+                jax.ShapeDtypeStruct((K, 3, L, B), jnp.uint32),
+                jax.ShapeDtypeStruct((K, B), jnp.uint32),
+            ],
+            compiler_params=pltpu.CompilerParams(
+                vmem_limit_bytes=100 * 1024 * 1024,
+            ),
+            interpret=interpret,
+        )(kfp.const_args(), one_raw.reshape(-1, 1), r25_col, b_col, ge_p,
+          ge_half, x_k, h_k, s_k)
+
+        # back to XLA layout, pad the (always-zero) 25th limb
+        pts = jnp.moveaxis(pts_k, -1, 0)  # (B, K, 3, 24)
+        pts = jnp.concatenate([pts, jnp.zeros_like(pts[..., :1])], axis=-1)
+        ok = jnp.moveaxis(ok_k, -1, 0).astype(bool)  # (B, K)
+
+        # infinity handling + flag semantics (identical to jc.decompress)
+        from . import curve as jc
+
+        ident = jc.identity(pts.shape[:-2])
+        rest_zero = jnp.all(x_bytes[..., 1:] == 0, axis=-1) & ((flags & 0x1F) == 0)
+        inf_ok = inf_flag & (sign_flag == 0) & rest_zero
+        point = jc.select(inf_flag, ident, pts)
+        valid = comp_flag & jnp.where(inf_flag, inf_ok, ok)
+        return point, valid
+
+    return decompress
+
+
+# ---------------------------------------------------------------------------
 # aggregate subgroup-membership kernel (strict decompression semantics)
 # ---------------------------------------------------------------------------
 
-def make_subgroup_kernel(K: int, rounds: int = 2, lanes: int = LANES,
+def make_subgroup_kernel(K: int, rounds: int | None = None, lanes: int = LANES,
                          chunk: int = CHUNK, interpret: bool = False,
                          wbits: int = 3):
     """Build check(points (B, K, 3, L25), weights (rounds, K) uint32) ->
@@ -349,10 +521,14 @@ def make_subgroup_kernel(K: int, rounds: int = 2, lanes: int = LANES,
     into the aggregate Q_r and ONE batched endomorphism test
     phi(Q) == [z^2 - 1] Q (Bowe 2019 criterion, ops/curve.subgroup_check)
     runs over the (rounds, ..., B) stack — 2 scalar ladders per ROW instead
-    of 2 per point."""
+    of 2 per point. rounds defaults to curve.DEFAULT_SUBGROUP_ROUNDS (the one
+    shared default: evasion <= 3^-rounds)."""
     from ..refimpl.field import BLS_X
-    from .curve import _BETA_MONT
+    from .curve import _BETA_MONT, DEFAULT_SUBGROUP_ROUNDS
     from .pallas_core import host_reencode24
+
+    if rounds is None:
+        rounds = DEFAULT_SUBGROUP_ROUNDS
 
     L = FP24_SPEC.L
     NBITS = 16 + 1  # weight bits + signed-recode carry bit
@@ -376,7 +552,6 @@ def make_subgroup_kernel(K: int, rounds: int = 2, lanes: int = LANES,
             ident_w = k_identity(F, (RNW, lanes))
             wsum_ref[:, :, :, :] = jnp.stack(ident_w, axis=1)
 
-        widx = jax.lax.broadcasted_iota(jnp.uint32, (chunk, TENT, 1, 1, lanes), 1)
         pts = points_ref[:, :, :, :]  # (chunk, 3, L, B)
         p0 = (pts[:, 0], pts[:, 1], pts[:, 2])
         ident = k_identity(F, (chunk, lanes))
@@ -393,11 +568,8 @@ def make_subgroup_kernel(K: int, rounds: int = 2, lanes: int = LANES,
         def window_step(j, _):
             mag = mags_ref[pl.ds(j, 1), :, :][0]  # (chunk, B)
             neg = negs_ref[pl.ds(j, 1), :, :][0]
-            onehot = mag[:, None, None, None, :] == widx
             table = table_ref[:, :, :, :, :]
-            sel = jnp.sum(
-                jnp.where(onehot, table, 0).astype(jnp.int32), axis=1
-            ).astype(jnp.uint32)
+            sel = table_select(table, mag, TENT)
             y = sel[:, 1]
             y = jnp.where(neg[:, None, :].astype(bool), F.neg(y), y)
             t = k_tree_reduce(F, b3, (sel[:, 0], y, sel[:, 2]), chunk)

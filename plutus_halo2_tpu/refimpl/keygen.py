@@ -88,6 +88,40 @@ def _sigma_columns(spec: CircuitSpec, asn: Assignment, n: int, usable: int):
     return sigmas
 
 
+def plan_from_vk(circuit, vk: VerifyingKeyData,
+                 flavor: str = FLAVOR_HALO2) -> CircuitPlan:
+    """Verification-only CircuitPlan: circuit STRUCTURE (gates, queries,
+    lookups, permutation layout — independent of witness values) + a
+    committed VerifyingKeyData (e.g. utils.serialization.vk_from_json).
+    Skips the SRS / assignment / commitment work of full keygen, so
+    verifiers for large circuits (the 228/408 ATMS artifacts, k=22,
+    n=4.2M — a 73-minute native prove) build in milliseconds. The analog of
+    the reference consuming its exported VK constants without re-running
+    keygen (code_emitters_plinth.rs:786-888)."""
+    spec: CircuitSpec = circuit.spec
+    spec.finalize_queries()
+    assert spec.blinding_factors() == vk.blinding_factors, (
+        f"circuit structure/blinding mismatch: spec {spec.blinding_factors()}"
+        f" != vk {vk.blinding_factors}"
+    )
+    assert circuit.num_public_inputs == vk.num_public_inputs
+    return CircuitPlan(
+        vk=vk,
+        flavor=flavor,
+        num_advice_columns=spec.num_advice,
+        advice_queries=list(spec.advice_queries),
+        fixed_queries=list(spec.fixed_queries),
+        instance_queries=list(spec.instance_queries),
+        gates=list(spec.gates),
+        lookups=list(spec.lookups),
+        num_permutation_sets=spec.num_permutation_sets(),
+        permutation_columns=list(spec.equality_columns),
+        chunk_len=spec.chunk_len(),
+        num_vanishing_splits=spec.degree() - 1,
+        degree=spec.degree(),
+    ).finalize()
+
+
 def keygen(circuit, flavor: str = FLAVOR_HALO2, srs: TrapdoorSRS | None = None,
            min_k: int = 0):
     """Returns (ProvingKey, CircuitPlan). `circuit` provides `.spec`

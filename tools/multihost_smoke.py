@@ -84,8 +84,14 @@ def worker(pid: int, nproc: int, batch: int, out_path: str | None):
         sh_i, pis[pid * per : (pid + 1) * per], pis.shape
     )
 
+    # the default aggregate subgroup check runs in BOTH legs: weights are
+    # seed-fixed so every process materializes the identical replicated array
+    sw = verifier.subgroup_weights(np.random.default_rng(7))
+    sw_g = jax.device_put(sw, NamedSharding(mesh, P()))
     fn = jax.jit(
-        verifier._verify_impl, in_shardings=(sh_p, sh_i), out_shardings=sh
+        lambda p, i, w: verifier._verify_impl(p, i, sub_weights=w),
+        in_shardings=(sh_p, sh_i, NamedSharding(mesh, P())),
+        out_shardings=sh,
     )
     from jax.experimental import multihost_utils
 
@@ -94,24 +100,29 @@ def worker(pid: int, nproc: int, batch: int, out_path: str | None):
     # XLA compile skew (minutes on one pinned core when the persistent cache
     # is cold) blows it. After the barrier both processes hit the first
     # collective within milliseconds.
-    compiled = fn.lower(proofs_g, pis_g).compile()
+    compiled = fn.lower(proofs_g, pis_g, sw_g).compile()
     # NB: not multihost_utils.sync_global_devices — that barrier is itself a
     # gloo psum and would hit the same 30 s init window. The coordination-
-    # service barrier takes an explicit timeout and uses no collectives.
-    jax._src.distributed.global_state.client.wait_at_barrier(
-        "smoke-compiled", timeout_in_ms=60 * 60 * 1000
-    )
+    # service barrier takes an explicit timeout and uses no collectives —
+    # but it is a private module path, so fall back to the collective
+    # barrier (risking only the 30 s window) if a jax bump moves it.
+    try:
+        jax._src.distributed.global_state.client.wait_at_barrier(
+            "smoke-compiled", timeout_in_ms=60 * 60 * 1000
+        )
+    except AttributeError:
+        multihost_utils.sync_global_devices("smoke-compiled")
 
     # warm + correctness fetch (off the clock)
     local = np.asarray(
-        multihost_utils.process_allgather(compiled(proofs_g, pis_g), tiled=True)
+        multihost_utils.process_allgather(compiled(proofs_g, pis_g, sw_g), tiled=True)
     )
     fn = compiled
     assert local.tolist() == expected, f"verdicts wrong: {local.tolist()}"
     # timed leg: ITERS chained dispatches, one final allgather forces the last
     t0 = time.time()
     for _ in range(ITERS):
-        out = fn(proofs_g, pis_g)
+        out = fn(proofs_g, pis_g, sw_g)
     local = np.asarray(multihost_utils.process_allgather(out, tiled=True))
     dt = (time.time() - t0) / ITERS
     if pid == 0:
@@ -138,14 +149,17 @@ from plutus_halo2_tpu.parallel.mesh import make_mesh
 verifier, proofs, pis = g._build(batch={BATCH})
 mesh = make_mesh(jax.devices())
 sh = NamedSharding(mesh, P("batch"))
-fn = jax.jit(verifier._verify_impl,
+sw = jax.device_put(verifier.subgroup_weights(np.random.default_rng(7)),
+                    NamedSharding(mesh, P()))
+fn = jax.jit(lambda p, i, w: verifier._verify_impl(p, i, sub_weights=w),
              in_shardings=(NamedSharding(mesh, P("batch", None)),
-                           NamedSharding(mesh, P("batch", None, None))),
+                           NamedSharding(mesh, P("batch", None, None)),
+                           NamedSharding(mesh, P())),
              out_shardings=sh)
-out = np.asarray(fn(proofs, pis))
+out = np.asarray(fn(proofs, pis, sw))
 t0 = time.time()
 for _ in range({ITERS}):
-    out = fn(proofs, pis)
+    out = fn(proofs, pis, sw)
 np.asarray(out)
 print(json.dumps({{"t": (time.time() - t0) / {ITERS}}}))
 """

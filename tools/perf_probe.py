@@ -143,7 +143,10 @@ def main():
         proofs = jax.device_put(np.stack([proof] * B), dev)
         ver = JaxVerifier(plan)
         pis = jax.device_put(ver.encode_public_inputs([inputs] * B), dev)
-        out = timeit("full verify", ver._verify_impl, proofs, pis)
+        sw = jax.device_put(ver.subgroup_weights(np.random.default_rng(7)), dev)
+        out = timeit("full verify",
+                     lambda p_, i_: ver._verify_impl(p_, i_, sub_weights=sw),
+                     proofs, pis)
         assert bool(out[0][0]), "verify probe rejected a valid proof"
 
     if "core" in stages:
@@ -215,7 +218,10 @@ def main():
         ver = JaxVerifier(plan)
         pis = jax.device_put(ver.encode_public_inputs([inputs] * B), dev)
         hints = jax.device_put(ver.compute_y_hints(proofs_np), dev)
-        out = timeit("full verify (y-hints)", ver._verify_impl, proofs, pis, hints)
+        sw = jax.device_put(ver.subgroup_weights(np.random.default_rng(7)), dev)
+        out = timeit("full verify (y-hints)",
+                     lambda p_, i_, h_: ver._verify_impl(p_, i_, h_, sw),
+                     proofs, pis, hints)
         assert bool(out[0][0]), "hinted verify probe rejected a valid proof"
 
     if "pairing" in stages or "pairingp" in stages:

@@ -147,7 +147,10 @@ def main():
     if "monolith" in STAGES:
         # the single-program form shard_map/multichip uses (pairing payload
         # embedded inline) — kept for comparison with the staged rows
-        report("monolithic verify", ver._verify_impl, proofs, pis, hints)
+        sw = jax.device_put(ver.subgroup_weights(np.random.default_rng(7)), dev)
+        report("monolithic verify",
+               lambda p_, i_, h_: ver._verify_impl(p_, i_, h_, sw),
+               proofs, pis, hints)
 
 
 if __name__ == "__main__":
