@@ -87,44 +87,68 @@ def _bench_circuit(circuit, flavor, inputs, batch, iters, metric, dev,
         ]
     reps = -(-batch // len(base_proofs))
     proofs = np.stack((base_proofs * reps)[:batch]).copy()
-    # a couple of deliberately corrupted rows keep the accept path honest
-    proofs[1, 100] ^= 0x40
+    # a deliberately corrupted copy keeps the accept path honest (sanity
+    # asserts + the corrupted-traffic companion measurement below)
+    proofs_bad = proofs.copy()
+    proofs_bad[1, 100] ^= 0x40
 
     kw = {} if subgroup_rounds is None else {"subgroup_rounds": subgroup_rounds}
     verifier = JaxVerifier(plan, subgroup_check=subgroup, **kw)
     pis = verifier.encode_public_inputs([inputs] * batch)
-    proofs_d = jax.device_put(proofs, dev)
     pis_d = jax.device_put(pis, dev)
     # untrusted decompression hints are per-proof static data that travel
     # with the proof (computed by any host core / the submitter, re-checked
     # on device) — prepared outside the timed loop like the proofs themselves
-    hints_d = (
-        jax.device_put(verifier.compute_y_hints(proofs), dev) if y_hints else None
-    )
+    hints_d = hints_bad_d = None
+    if y_hints:
+        hints_d = jax.device_put(verifier.compute_y_hints(proofs), dev)
+        hints_bad_d = jax.device_put(verifier.compute_y_hints(proofs_bad), dev)
+    proofs_d = jax.device_put(proofs, dev)
+    proofs_bad_d = jax.device_put(proofs_bad, dev)
 
+    bad_row = {}
     if rlc_group is not None:
         # RLC batch-verification mode: ONE pairing per `rlc_group` proofs via
         # random-linear-combination aggregation + in-jit exact re-check of
-        # rows in failing groups. Verdicts are exact per proof (the corrupted
-        # row below exercises the re-check every batch); acceptance carries
-        # the standard batch-verification soundness error <= B/2^128. Weights
-        # are pre-staged; serving regenerates them per batch (~us host work).
+        # rows in failing groups (lax.cond-gated: honest batches skip the
+        # re-check pairing tile on device). Verdicts are exact per proof;
+        # acceptance carries the standard batch-verification soundness error
+        # <= B/2^128. The headline times HONEST traffic; the corrupted-row
+        # companion numbers (re-check tile armed every batch — the r3/r4
+        # headline semantics) are reported in the same row. Weights are
+        # pre-staged; serving regenerates them per batch (~us host work).
         weights_d = jax.device_put(
             verifier.rlc_weights(batch, np.random.default_rng(1)), dev
         )
         fn = lambda: verifier.verify_rlc_device(  # noqa: E731
             proofs_d, pis_d, weights_d, hints_d, group=rlc_group
         )[0]
+        fn_bad = lambda: verifier.verify_rlc_device(  # noqa: E731
+            proofs_bad_d, pis_d, weights_d, hints_bad_d, group=rlc_group
+        )[0]
         t0 = time.time()
-        out = _fetch(fn())
+        out_bad = _fetch(fn_bad())
         compile_time = time.time() - t0
+        out = _fetch(fn())
         # exact-verdict sanity incl. the host finalize path
         full = verifier.verify_rlc(
-            proofs_d, pis_d, hints_d, group=rlc_group, rng=np.random.default_rng(2)
+            proofs_bad_d, pis_d, hints_bad_d, group=rlc_group,
+            rng=np.random.default_rng(2),
         )
         assert full[0] and not full[1], f"rlc bench sanity failed: {full[:4]}"
-        assert bool(out[0]) and not bool(out[1]), f"rlc verdicts wrong: {out[:4]}"
+        assert bool(out_bad[0]) and not bool(out_bad[1]), (
+            f"rlc verdicts wrong: {out_bad[:4]}"
+        )
+        assert bool(out[0]) and bool(out[1]), f"honest verdicts wrong: {out[:4]}"
+        piped_bad = _time_pipelined(fn_bad, max(iters, 4))
+        bad_row = {
+            "corrupted_row_steady_sec": round(piped_bad, 4),
+            "corrupted_row_proofs_per_sec": round(batch / piped_bad, 2),
+        }
     else:
+        # exact per-proof mode: every row pays its own pairing either way;
+        # the corrupted batch is the timed one (identical cost, honest path)
+        proofs_d, hints_d = proofs_bad_d, hints_bad_d
         fn = lambda: verifier.verify(proofs_d, pis_d, hints_d)  # noqa: E731
         t0 = time.time()
         out = _fetch(fn())
@@ -149,6 +173,8 @@ def _bench_circuit(circuit, flavor, inputs, batch, iters, metric, dev,
     if rlc_group is not None:
         row["mode"] = "rlc_batch_pairing_exact_verdicts"
         row["rlc_group"] = rlc_group
+        row["traffic"] = "honest"
+        row.update(bad_row)
     row["subgroup"] = subgroup
     if subgroup == "aggregate":
         row["subgroup_rounds"] = verifier.subgroup_rounds

@@ -261,12 +261,14 @@ class JaxVerifier:
             )
         return self._pallas_cache[key]
 
-    def _pallas_decompress(self, K: int):
-        key = ("decompress", K)
+    def _pallas_decompress(self, K: int, subgroup_rounds: int | None = None):
+        key = ("decompress", K, subgroup_rounds)
         if key not in self._pallas_cache:
             from ..ops.pallas_curve import make_decompress_kernel
 
-            self._pallas_cache[key] = make_decompress_kernel(K)
+            self._pallas_cache[key] = make_decompress_kernel(
+                K, subgroup_rounds=subgroup_rounds
+            )
         return self._pallas_cache[key]
 
     def _pallas_subgroup(self, K: int):
@@ -338,17 +340,42 @@ class JaxVerifier:
 
         return LANES if (self.use_pallas and n % LANES == 0) else n
 
-    def _pair_staged(self, el, er):
+    def _pair_cond_impl(self, el, er, enable):
+        """The shared pairing program body: ONE compiled program serves every
+        call site (exact chunks, RLC group check, RLC re-check, host
+        re-check). `enable` is a traced device scalar — jax.lax.cond executes
+        only the taken branch at runtime, so the RLC re-check tile costs
+        nothing on clean batches (enable = any-suspects) with NO host sync
+        and no duplicated Mosaic payload. Padding/disabled slots report True
+        (identity pairs are trivially true anyway)."""
+        W = el.shape[0]
+        return jax.lax.cond(
+            enable,
+            lambda a, b: self._pairing_check(a, b),
+            lambda a, b: jnp.ones((W,), bool),
+            el, er,
+        )
+
+    def _pair_staged(self, el, er, enable=None):
         """el/er (B, 3, L) -> list of per-chunk (W,) bool device arrays from
         the shared fixed-width pairing program. B must be a multiple of the
-        pair width on the Pallas path (callers guarantee lane alignment)."""
+        pair width on the Pallas path (callers guarantee lane alignment).
+        enable: optional device bool scalar gating the whole stage (see
+        _pair_cond_impl); defaults to on."""
         B = el.shape[0]
         W = self._pair_width(B)
-        prog = self._prog("pair", self._pairing_check)
+        if enable is None:
+            if not hasattr(self, "_enable_true"):
+                self._enable_true = jnp.asarray(True)  # one device scalar
+            enable = self._enable_true
+        prog = self._prog("pair", self._pair_cond_impl)
         if W == B:
-            return [prog(el, er)]
+            return [prog(el, er, enable)]
         assert B % W == 0, f"batch {B} not a multiple of pair width {W}"
-        return [prog(el[s : s + W], er[s : s + W]) for s in range(0, B, W)]
+        return [
+            prog(el[s : s + W], er[s : s + W], enable)
+            for s in range(0, B, W)
+        ]
 
     @staticmethod
     def _combine_impl(valid, *oks):
@@ -445,13 +472,17 @@ class JaxVerifier:
         group_ok_p = jnp.concatenate(self._pair_staged(el_g, er_g), axis=0)
 
         # suspect gather + bounded exact re-check through the SAME pairing
-        # program (padding slots carry the identity pair — trivially true)
+        # program (padding slots carry the identity pair — trivially true);
+        # the re-check tile is lax.cond-gated on any-suspects, so honest
+        # batches skip its pairing entirely (device-side branch, no sync)
         R = min(self._RLC_RECHECK, B)
         R = -(-R // LANES) * LANES if pallas else R  # pad to the pair width
         verdicts0, n_sus, group_ok, idx_w, el_s, er_s = self._prog(
             "rlc_post", self._post_impl, group=group, R=R
         )(group_ok_p, all_valid, el, er)
-        row_ok = jnp.concatenate(self._pair_staged(el_s, er_s), axis=0)
+        row_ok = jnp.concatenate(
+            self._pair_staged(el_s, er_s, enable=n_sus > 0), axis=0
+        )
         verdicts = self._prog("rlc_final", self._final_impl)(
             verdicts0, idx_w, row_ok
         )
@@ -541,7 +572,8 @@ class JaxVerifier:
         el, er = np.asarray(el), np.asarray(er)
         ident = np.asarray(jc.host_point_to_mont(None))
         chunk = self._pair_width(max(len(suspects), 1))
-        prog = self._prog("pair", self._pairing_check)
+        prog = self._prog("pair", self._pair_cond_impl)
+        on = jnp.asarray(True)
         out = np.zeros(len(suspects), dtype=bool)
         for s in range(0, len(suspects), chunk):
             idx = suspects[s : s + chunk]
@@ -549,7 +581,7 @@ class JaxVerifier:
             er_c = el_c.copy()
             el_c[: len(idx)] = el[idx]
             er_c[: len(idx)] = er[idx]
-            out[s : s + len(idx)] = np.asarray(prog(el_c, er_c))[: len(idx)]
+            out[s : s + len(idx)] = np.asarray(prog(el_c, er_c, on))[: len(idx)]
         return out
 
     def compute_y_hints(self, proof_bytes) -> np.ndarray:
@@ -706,11 +738,28 @@ class JaxVerifier:
             [np.arange(48) + lay.point_offsets[n] for n in point_names]
         )
         pt_raw = proof[:, jnp.asarray(pt_idx)]  # (B, n_p, 48)
+        if self.subgroup_check == "aggregate" and sub_weights is None:
+            # refuse the silent semantic downgrade: the default strict
+            # mode NEEDS per-batch weights (verify()/verify_rlc() supply
+            # them; direct _verify_impl/_core_impl callers must pass
+            # subgroup_weights(), or opt out with subgroup_check="off")
+            raise ValueError(
+                "subgroup_check='aggregate' requires sub_weights — pass "
+                "verifier.subgroup_weights() (fresh per batch), or "
+                "construct JaxVerifier(subgroup_check='off'/'exact')"
+            )
+        sub_ok_fused = None
         if y_hints is not None:
             # hint path: 2 Fp muls per point instead of the sqrt ladder;
             # on TPU the whole hinted parse/decompress stage is one Pallas
-            # kernel (bit-identical — see make_decompress_kernel)
-            if self._pallas_ok(B):
+            # kernel (bit-identical — see make_decompress_kernel), and in
+            # the default aggregate mode the subgroup test rides the same
+            # kernel while the points are still in-register
+            if self._pallas_ok(B) and self.subgroup_check == "aggregate":
+                pts, pt_valid, sub_ok_fused = self._pallas_decompress(
+                    len(point_names), self.subgroup_rounds
+                )(pt_raw, y_hints, sub_weights)
+            elif self._pallas_ok(B):
                 pts, pt_valid = self._pallas_decompress(len(point_names))(
                     pt_raw, y_hints
                 )
@@ -728,17 +777,9 @@ class JaxVerifier:
         if self.subgroup_check == "exact":
             all_valid = all_valid & jnp.all(jc.subgroup_check(pts), axis=-1)
         elif self.subgroup_check == "aggregate":
-            if sub_weights is None:
-                # refuse the silent semantic downgrade: the default strict
-                # mode NEEDS per-batch weights (verify()/verify_rlc() supply
-                # them; direct _verify_impl/_core_impl callers must pass
-                # subgroup_weights(), or opt out with subgroup_check="off")
-                raise ValueError(
-                    "subgroup_check='aggregate' requires sub_weights — pass "
-                    "verifier.subgroup_weights() (fresh per batch), or "
-                    "construct JaxVerifier(subgroup_check='off'/'exact')"
-                )
-            if self._pallas_ok(B):
+            if sub_ok_fused is not None:
+                ok = sub_ok_fused
+            elif self._pallas_ok(B):
                 ok = self._pallas_subgroup(len(point_names))(pts, sub_weights)
             else:
                 ok = jc.aggregate_subgroup_check(pts, sub_weights)

@@ -126,18 +126,28 @@ def k_select(F: KField, cond, p, q):
     return tuple(F.select(cond, a, b) for a, b in zip(p, q))
 
 
-def table_select(table, mag, tent: int):
+def table_select(table, mag, tent: int, mode: str = "onehot"):
     """Branchless windowed-table gather: table (chunk, TENT, 3, L, B),
     mag (chunk, B) in [0, tent) -> (chunk, 3, L, B).
 
-    Bit-decomposed SELECT TREE instead of the one-hot multiply-accumulate:
-    level k halves the candidate set with one jnp.where keyed on mag bit k
-    (~2^(w-1) selects total), versus TENT compare+mask+sum passes over the
-    full table — the gather was ~30% of MSM kernel time (STAGES.md wbits
-    sweep decomposition). TENT = 2^(w-1)+1: the top entry (mag == 2^(w-1))
-    rides one final select. Values only (reshape+index, no strided slices —
-    Mosaic-safe like pallas_pairing._split)."""
+    mode="onehot" (DEFAULT): TENT compare+mask+sum passes over the full
+    table. Measured FASTER than the select tree for the verifier's K<=32
+    MSMs on v5e (K=8: 89 vs 105 ms, K=16: 98 vs 104 ms at B=1024,
+    fetch-inclusive) — the tree's per-level reshapes cost Mosaic relayout
+    copies that outweigh the saved compare/sum passes.
+    mode="tree": bit-decomposed select tree — level k halves the candidate
+    set with one jnp.where keyed on mag bit k; TENT = 2^(w-1)+1, the top
+    entry rides one final select. Kept for large-K experiments."""
     chunk = table.shape[0]
+    if mode == "onehot":
+        widx = jax.lax.broadcasted_iota(
+            jnp.uint32, (chunk, tent, 1, 1, table.shape[-1]), 1
+        )
+        onehot = mag[:, None, None, None, :] == widx
+        # Mosaic: no unsigned reductions — limbs < 2^16 are int32-safe
+        return jnp.sum(
+            jnp.where(onehot, table, 0).astype(jnp.int32), axis=1
+        ).astype(jnp.uint32)
     pow2 = tent - 1  # 2^(wbits-1)
     t_top = table[:, pow2]
     t = table[:, :pow2]
@@ -221,7 +231,8 @@ def signed_digits_msb(scalars, wbits: int = 4, nbits: int = 256):
 # ---------------------------------------------------------------------------
 
 def make_msm_kernel(K: int, lanes: int = LANES, chunk: int = CHUNK,
-                    interpret: bool = False, wbits: int = WBITS):
+                    interpret: bool = False, wbits: int = WBITS,
+                    select_mode: str = "onehot"):
     """Build a jittable msm(points (B, K, 3, L), scalars (B, K, L_fr)) ->
     (B, 3, L) using a Pallas kernel gridded over (batch//lanes,). K is static;
     the point axis is zero-padded to a chunk multiple (scalar 0 selects table
@@ -270,7 +281,7 @@ def make_msm_kernel(K: int, lanes: int = LANES, chunk: int = CHUNK,
             mag = mags_ref[pl.ds(j, 1), :, :][0]  # (chunk, B) — chunk block
             neg = negs_ref[pl.ds(j, 1), :, :][0]
             table = table_ref[:, :, :, :, :]
-            sel = table_select(table, mag, TENT)  # (chunk, 3, L, B)
+            sel = table_select(table, mag, TENT, select_mode)  # (chunk, 3, L, B)
             y = sel[:, 1]
             y = jnp.where(neg[:, None, :].astype(bool), F.neg(y), y)
             t = k_tree_reduce(F, b3, (sel[:, 0], y, sel[:, 2]), chunk)
@@ -353,7 +364,8 @@ def make_msm_kernel(K: int, lanes: int = LANES, chunk: int = CHUNK,
 # hinted-decompression kernel (point parsing, the verify front-end)
 # ---------------------------------------------------------------------------
 
-def make_decompress_kernel(K: int, lanes: int = LANES, interpret: bool = False):
+def make_decompress_kernel(K: int, lanes: int = LANES, interpret: bool = False,
+                           subgroup_rounds: int | None = None):
     """Build decompress(pt_raw (B, K, 48) uint8, y_hints (B, K, L25)) ->
     (points (B, K, 3, L25), valid (B, K)): the HINTED branch of
     ops/curve.decompress as one Pallas kernel — the per-point field work
@@ -367,8 +379,18 @@ def make_decompress_kernel(K: int, lanes: int = LANES, interpret: bool = False):
     2^384 — it stays a wrong hint and can only flip its row to reject).
 
     ~8 mont_muls per point vs the XLA graph's dispatch-bound ~13 ms/batch
-    stage (STAGES.md round-4 budget)."""
-    from ..refimpl.field import P
+    stage (STAGES.md round-4 budget).
+
+    subgroup_rounds: when set, the kernel ALSO computes the per-row
+    random-weighted aggregate subgroup test (the default strict mode —
+    same math/bools as make_subgroup_kernel / jc.aggregate_subgroup_check)
+    on the just-decompressed points while they are still in-register in the
+    R24 domain, saving the separate kernel's dispatch + R25->R24 re-entry
+    boundary (~3.5 ms/1024-batch). The wrapper then takes weights
+    (rounds, K) and returns (points, valid, sub_ok (B,))."""
+    from ..refimpl.field import BLS_X, P
+    from .curve import _BETA_MONT
+    from .pallas_core import host_reencode24
 
     L = FP24_SPEC.L
     r24 = 1 << (16 * L)
@@ -386,8 +408,20 @@ def make_decompress_kernel(K: int, lanes: int = LANES, interpret: bool = False):
     ge_p = pad0(int_to_limbs(r24 - P, L)).reshape(-1, 1)
     ge_half = pad0(int_to_limbs(r24 - ((P + 1) >> 1), L)).reshape(-1, 1)
 
+    rounds = subgroup_rounds
+    SW = 3  # subgroup aggregation window width (see make_subgroup_kernel)
+    SNW = n_windows(SW, 16 + 1)
+    STENT = (1 << (SW - 1)) + 1
+    beta_col = host_reencode24(_BETA_MONT).reshape(-1, 1)
+    zbits = np.array([[int(c) for c in bin(BLS_X)[2:]]], dtype=np.int32)
+
     def kernel(consts_ref, onec_ref, r25_ref, b_ref, gep_ref, geh_ref,
-               x_ref, hint_ref, sign_ref, pts_ref, ok_ref):
+               *refs):
+        if rounds:
+            (beta_ref, zbits_ref, x_ref, hint_ref, sign_ref, inf_ref,
+             mags_ref, negs_ref, pts_ref, ok_ref, sub_ref) = refs
+        else:
+            x_ref, hint_ref, sign_ref, pts_ref, ok_ref = refs
         F = kfp.bind(consts_ref[:, :], unroll_mul=not interpret)
         r2 = F._row("r2")
         onec = onec_ref[:, :]
@@ -428,7 +462,73 @@ def make_decompress_kernel(K: int, lanes: int = LANES, interpret: bool = False):
         pts_ref[:, :, :, :] = jnp.stack([x_out, y_out, z_out], axis=1)
         ok_ref[:, :] = (root_ok & ~x_ge_p).astype(jnp.uint32)
 
-    def decompress(pt_raw, y_hints):
+        if not rounds:
+            return
+
+        # ---- fused aggregate subgroup test (points still in R24) ---------
+        b3 = F.add(F.add(b_ref[:, :], b_ref[:, :]), b_ref[:, :])
+        one24 = F.one((K, lanes))
+        zero24 = F.zeros((K, lanes))
+        infb = inf_ref[:, :] != 0  # (K, B): encoded identity points
+        P0 = (
+            F.select(infb, zero24, xm),
+            F.select(infb, one24, y_sel),
+            F.select(infb, zero24, one24),
+        )
+        # 5-entry window table [0P..4P] as one stacked value (K, 5, 3, L, B)
+        entries = [k_identity(F, (K, lanes)), P0]
+        for _ in range(STENT - 2):
+            entries.append(k_add(F, b3, entries[-1], P0))
+        table = jnp.stack(
+            [jnp.stack(e, axis=1) for e in entries], axis=1
+        )
+        qs = []
+        for r in range(rounds):
+            acc = k_identity(F, (lanes,))
+            for w in range(SNW):  # MSB window first
+                for _ in range(SW):
+                    acc = k_double(F, b3, acc)
+                i = r * SNW + w
+                mag = mags_ref[pl.ds(i, 1), :, :].reshape(K, lanes)
+                neg = negs_ref[pl.ds(i, 1), :, :].reshape(K, lanes)
+                sel = table_select(table, mag, STENT)
+                y = sel[:, 1]
+                y = jnp.where(neg[:, None, :].astype(bool), F.neg(y), y)
+                t = k_tree_reduce(F, b3, (sel[:, 0], y, sel[:, 2]), K)
+                acc = k_add(F, b3, acc, t)
+            qs.append(acc)
+        Q = tuple(
+            jnp.stack([q[coord] for q in qs], axis=0) for coord in range(3)
+        )  # coords (rounds, L, B)
+
+        # endomorphism membership on the aggregates: phi(Q) == [z^2]Q - Q
+        def zmul(p):
+            def body(i, a):
+                a = k_double(F, b3, a)
+                return jax.lax.cond(
+                    zbits_ref[0, i] != 0,
+                    lambda v: k_add(F, b3, v, p),
+                    lambda v: v,
+                    a,
+                )
+
+            return jax.lax.fori_loop(0, 64, body, k_identity(F, (rounds, lanes)))
+
+        tq = zmul(zmul(Q))
+        rhs_p = k_add(F, b3, tq, (Q[0], F.neg(Q[1]), Q[2]))
+        phi_x = F.mont_mul(Q[0], beta_ref[:, :])
+        x1z2 = F.mont_mul(phi_x, rhs_p[2])
+        x2z1 = F.mont_mul(rhs_p[0], Q[2])
+        y1z2 = F.mont_mul(Q[1], rhs_p[2])
+        y2z1 = F.mont_mul(rhs_p[1], Q[2])
+        q_inf = F.is_zero(Q[2])  # (rounds, B)
+        r_inf = F.is_zero(rhs_p[2])
+        fin = F.eq(x1z2, x2z1) & F.eq(y1z2, y2z1) & ~q_inf & ~r_inf
+        ok_r = fin | q_inf
+        bad = jnp.sum((~ok_r).astype(jnp.int32), axis=0)  # (B,)
+        sub_ref[:, :] = (bad == 0)[None].astype(jnp.uint32)
+
+    def decompress(pt_raw, y_hints, weights=None):
         pt_raw = jnp.asarray(pt_raw)
         B = pt_raw.shape[0]
         assert B % lanes == 0, f"batch {B} must be a multiple of {lanes}"
@@ -451,34 +551,69 @@ def make_decompress_kernel(K: int, lanes: int = LANES, interpret: bool = False):
         h_k = jnp.moveaxis(y_hints[..., :L].astype(jnp.uint32), 0, -1)
         s_k = jnp.moveaxis(sign_flag, 0, -1)  # (K, B)
 
-        pts_k, ok_k = pl.pallas_call(
+        col = lambda: pl.BlockSpec((L, 1), lambda b: (0, 0), memory_space=pltpu.VMEM)  # noqa: E731
+        colx = lambda: pl.BlockSpec((L + 1, 1), lambda b: (0, 0), memory_space=pltpu.VMEM)  # noqa: E731
+        plane = lambda: pl.BlockSpec((K, lanes), lambda b: (0, b), memory_space=pltpu.VMEM)  # noqa: E731
+        kplane = lambda: pl.BlockSpec((K, L, lanes), lambda b: (0, 0, b), memory_space=pltpu.VMEM)  # noqa: E731
+        in_specs = [
+            pl.BlockSpec((6, L + 1), lambda b: (0, 0), memory_space=pltpu.VMEM),
+            col(), col(), col(), colx(), colx(),
+        ]
+        args = [kfp.const_args(), one_raw.reshape(-1, 1), r25_col, b_col,
+                ge_p, ge_half]
+        out_specs = [
+            pl.BlockSpec((K, 3, L, lanes), lambda b: (0, 0, 0, b), memory_space=pltpu.VMEM),
+            plane(),
+        ]
+        out_shape = [
+            jax.ShapeDtypeStruct((K, 3, L, B), jnp.uint32),
+            jax.ShapeDtypeStruct((K, B), jnp.uint32),
+        ]
+        if rounds:
+            assert weights is not None and weights.shape == (rounds, K)
+            # 16-bit weights -> (rounds*SNW, K, B) signed digit planes,
+            # round-major (identical recoding to make_subgroup_kernel)
+            w = jnp.asarray(weights, jnp.uint32)
+            w_limbs = jnp.stack([w & 0xFFFF, (w >> 16) & 0xFFFF], axis=-1)
+            mags, negs = signed_digits_msb(w_limbs, SW, nbits=16 + 1)
+            mags = jnp.moveaxis(mags, 0, 1).reshape(rounds * SNW, K)
+            negs = jnp.moveaxis(negs, 0, 1).reshape(rounds * SNW, K)
+            RNW = rounds * SNW
+            mags = jnp.broadcast_to(
+                mags.astype(jnp.uint32)[:, :, None], (RNW, K, B)
+            )
+            negs = jnp.broadcast_to(
+                negs.astype(jnp.uint32)[:, :, None], (RNW, K, B)
+            )
+            inf_k = jnp.moveaxis(inf_flag.astype(jnp.uint32), 0, -1)  # (K, B)
+            in_specs += [
+                col(),
+                pl.BlockSpec(memory_space=pltpu.SMEM),
+                kplane(), kplane(), plane(), plane(),
+                pl.BlockSpec((RNW, K, lanes), lambda b: (0, 0, b), memory_space=pltpu.VMEM),
+                pl.BlockSpec((RNW, K, lanes), lambda b: (0, 0, b), memory_space=pltpu.VMEM),
+            ]
+            args += [beta_col, zbits, x_k, h_k, s_k, inf_k, mags, negs]
+            out_specs.append(
+                pl.BlockSpec((1, lanes), lambda b: (0, b), memory_space=pltpu.VMEM)
+            )
+            out_shape.append(jax.ShapeDtypeStruct((1, B), jnp.uint32))
+        else:
+            in_specs += [kplane(), kplane(), plane()]
+            args += [x_k, h_k, s_k]
+
+        outs = pl.pallas_call(
             kernel,
             grid=(nbt,),
-            in_specs=[
-                pl.BlockSpec((6, L + 1), lambda b: (0, 0), memory_space=pltpu.VMEM),
-                pl.BlockSpec((L, 1), lambda b: (0, 0), memory_space=pltpu.VMEM),
-                pl.BlockSpec((L, 1), lambda b: (0, 0), memory_space=pltpu.VMEM),
-                pl.BlockSpec((L, 1), lambda b: (0, 0), memory_space=pltpu.VMEM),
-                pl.BlockSpec((L + 1, 1), lambda b: (0, 0), memory_space=pltpu.VMEM),
-                pl.BlockSpec((L + 1, 1), lambda b: (0, 0), memory_space=pltpu.VMEM),
-                pl.BlockSpec((K, L, lanes), lambda b: (0, 0, b), memory_space=pltpu.VMEM),
-                pl.BlockSpec((K, L, lanes), lambda b: (0, 0, b), memory_space=pltpu.VMEM),
-                pl.BlockSpec((K, lanes), lambda b: (0, b), memory_space=pltpu.VMEM),
-            ],
-            out_specs=[
-                pl.BlockSpec((K, 3, L, lanes), lambda b: (0, 0, 0, b), memory_space=pltpu.VMEM),
-                pl.BlockSpec((K, lanes), lambda b: (0, b), memory_space=pltpu.VMEM),
-            ],
-            out_shape=[
-                jax.ShapeDtypeStruct((K, 3, L, B), jnp.uint32),
-                jax.ShapeDtypeStruct((K, B), jnp.uint32),
-            ],
+            in_specs=in_specs,
+            out_specs=out_specs,
+            out_shape=out_shape,
             compiler_params=pltpu.CompilerParams(
                 vmem_limit_bytes=100 * 1024 * 1024,
             ),
             interpret=interpret,
-        )(kfp.const_args(), one_raw.reshape(-1, 1), r25_col, b_col, ge_p,
-          ge_half, x_k, h_k, s_k)
+        )(*args)
+        pts_k, ok_k = outs[0], outs[1]
 
         # back to XLA layout, pad the (always-zero) 25th limb
         pts = jnp.moveaxis(pts_k, -1, 0)  # (B, K, 3, 24)
@@ -493,6 +628,8 @@ def make_decompress_kernel(K: int, lanes: int = LANES, interpret: bool = False):
         inf_ok = inf_flag & (sign_flag == 0) & rest_zero
         point = jc.select(inf_flag, ident, pts)
         valid = comp_flag & jnp.where(inf_flag, inf_ok, ok)
+        if rounds:
+            return point, valid, outs[2][0].astype(bool)
         return point, valid
 
     return decompress

@@ -12,7 +12,13 @@ from plutus_halo2_tpu.refimpl import curve as rc
 from plutus_halo2_tpu.refimpl.field import Q
 
 
-@pytest.mark.parametrize("K,wbits", [(3, 4), (8, 4), (11, 4), (3, 5), (11, 5)])
+# two cases stay in the fast tier (one per window width); the rest are
+# compile-heavy interpret runs covering the same code paths at other K
+@pytest.mark.parametrize(
+    "K,wbits",
+    [(8, 4), (11, 5)]
+    + [pytest.param(*c, marks=pytest.mark.slow) for c in [(3, 4), (11, 4), (3, 5)]],
+)
 def test_pallas_msm_matches_refimpl(K, wbits):
     rng = random.Random(21)
     B = 4

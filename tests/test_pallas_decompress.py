@@ -77,6 +77,53 @@ def test_decompress_kernel_matches_xla_path():
     )
 
 
+@pytest.mark.slow
+def test_decompress_kernel_fused_subgroup_parity():
+    """The subgroup-fused variant must (a) keep points/valid bit-identical
+    to the plain kernel, and (b) produce the same per-row aggregate verdicts
+    as jc.aggregate_subgroup_check on the decompressed points — including a
+    row whose encoding decodes to a NON-subgroup E(Fp) point and a row with
+    an identity (infinity) encoding."""
+    # a valid encoding of a point OUTSIDE G1 (nonzero h-torsion)
+    x = 100
+    while True:
+        rhs = (x**3 + 4) % P
+        y = pow(rhs, (P + 1) >> 2, P)
+        if y * y % P == rhs and not rc.g1_in_subgroup((x, y)):
+            evil = (x, y)
+            break
+        x += 1
+    g = [rc.g1_mul(rc.G1_GEN, 3 + i) for i in range(3)]
+    K, B = 4, 128
+    rows = [
+        [g[0], g[1], g[2], None],  # honest, with an infinity encoding
+        [g[0], evil, g[2], g[1]],  # contains a non-subgroup point
+        [None, None, None, None],  # all-infinity
+        [g[2], g[0], g[1], g[1]],  # honest
+    ]
+    raw = np.zeros((B, K, 48), np.uint8)
+    hints = np.zeros((B, K, FP_SPEC.L), np.uint32)
+    for b in range(B):
+        row = rows[b % len(rows)]
+        for k, pt in enumerate(row):
+            enc = rc.g1_compress(pt)
+            raw[b, k] = np.frombuffer(enc, np.uint8)
+            hints[b, k] = FP_SPEC.encode(pt[1] if pt is not None else 0)
+    from plutus_halo2_tpu.ops import curve as jcv
+
+    w = jcv.subgroup_weights(K, rounds=2, rng=np.random.default_rng(11))
+    plain = make_decompress_kernel(K, interpret=True)
+    fused = make_decompress_kernel(K, interpret=True, subgroup_rounds=2)
+    p_pts, p_valid = jax.jit(plain)(raw, hints)
+    f_pts, f_valid, f_sub = jax.jit(lambda r, h: fused(r, h, w))(raw, hints)
+    assert np.array_equal(np.asarray(p_pts), np.asarray(f_pts))
+    assert np.array_equal(np.asarray(p_valid), np.asarray(f_valid))
+    ref_sub = np.asarray(jcv.aggregate_subgroup_check(p_pts, w))
+    assert np.array_equal(np.asarray(f_sub), ref_sub)
+    expect = [True, False, True, True]
+    assert np.asarray(f_sub)[: len(expect)].tolist() == expect
+
+
 def test_decompress_kernel_oversized_hint_soundness():
     """Hints are untrusted: the kernel reads a hint mod 2^384 (low 24
     limbs), so an adversarial top limb reinterprets — never weakens — the

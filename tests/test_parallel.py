@@ -40,6 +40,7 @@ def _rand_msm(rng, K, B=None):
     return pts, scs, expected
 
 
+@pytest.mark.slow
 def test_sharded_msm_matches_single_device():
     """sharded_msm over a 4-device CPU mesh == refimpl.
 

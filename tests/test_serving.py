@@ -38,6 +38,7 @@ def test_bundle_tag_matches_reference_derivation(setup):
     assert other.tag != bundle.tag
 
 
+@pytest.mark.slow
 def test_service_accept_reject_and_padding(setup):
     plan, proof, inputs = setup
     svc = VerificationService(
