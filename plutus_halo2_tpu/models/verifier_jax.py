@@ -999,35 +999,19 @@ class JaxVerifier:
             return self._msm(proof.shape[0], pts_arr, coeff_arr)
 
         def run_msm_pair(terms_l, terms_r):
-            """Two MSMs in ONE kernel dispatch: the smaller term list is
-            zero-padded (scalar 0 selects the identity table entry — exact)
-            and both stack on the batch axis, halving the GWC flavor's MSM
-            launches (its el/er sides were dispatched separately; same trick
-            as _agg_impl's el/er stack)."""
+            """The GWC flavor's two pairing-side MSMs, dispatched
+            separately (both async — they pipeline). Stacking them into one
+            kernel call by zero-padding the 3-term left side to the right
+            side's 17 terms on a doubled batch axis was MEASURED SLOWER
+            (227.8 vs 207.5 ms at B=1024, v5e): the pad adds two whole dead
+            chunks of window math across 2048 rows, far more than the one
+            saved dispatch. The flavor's residual gap to halo2 is real work
+            (an extra left MSM, 3-vs-2 right chunks, a longer transcript),
+            not dispatch overhead — see STAGES.md round-5 ledger."""
             B_ = proof.shape[0]
             pl_, cl = _msm_arrays(terms_l)
             pr_, cr = _msm_arrays(terms_r)
-            K = max(pl_.shape[-3], pr_.shape[-3])
-
-            def pad(p, c):
-                k = p.shape[-3]
-                if k == K:
-                    return p, c
-                zp = jnp.zeros((*p.shape[:-3], K - k, *p.shape[-2:]), p.dtype)
-                zc = jnp.zeros((*c.shape[:-2], K - k, c.shape[-1]), c.dtype)
-                return (
-                    jnp.concatenate([p, zp], axis=-3),
-                    jnp.concatenate([c, zc], axis=-2),
-                )
-
-            pl_, cl = pad(pl_, cl)
-            pr_, cr = pad(pr_, cr)
-            both = self._msm(
-                2 * B_,
-                jnp.concatenate([pl_, pr_], axis=0),
-                jnp.concatenate([cl, cr], axis=0),
-            )
-            return both[:B_], both[B_:]
+            return self._msm(B_, pl_, cl), self._msm(B_, pr_, cr)
 
         from ..refimpl.curve import G1_GEN, g1_neg
 
